@@ -1,0 +1,106 @@
+"""Direct Stiffness Summation (DSS) and neighbor min/max as gathers.
+
+TPU-native replacement for the reference's edge pack / MPI exchange / unpack
+machinery (reference: edge_mod.F90:366 `edgeVpack`, :648 `edgeVunpack`,
+:965 `edgeVunpackMin/Max`, bndry_mod.F90:21 `bndry_exchangeV`,
+viscosity_mod.F90:748 `neighbor_minmax`).
+
+On a single device the assembly is three masked gathers over a precomputed
+partner table (each GLL point has at most 3 coincident partner slots: 2 edge
+neighbors + 1 corner neighbor; 4-way sharing at regular corners, 3-way at the
+8 cube vertices).  The sharded variant lives in parallel/halo.py.
+
+Data layout: fields are [E, batch..., np, np]; the partner table indexes the
+flattened (E*np*np) point axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DssTables:
+    """Device-resident assembly tables built from grid.cubesphere."""
+    part_idx: jnp.ndarray    # [E*16, 3] int32
+    part_mask: jnp.ndarray   # [E*16, 3] bool
+    nbr: jnp.ndarray         # [E, 9] int32 (self first, self-padded)
+    nelem: int
+
+    @staticmethod
+    def from_grid(grid) -> "DssTables":
+        return DssTables(
+            part_idx=jnp.asarray(grid.part_idx),
+            part_mask=jnp.asarray(grid.part_mask),
+            nbr=jnp.asarray(grid.nbr),
+            nelem=grid.nelem,
+        )
+
+
+def _flatten_points(x):
+    """[E, B..., n, n] -> ([BB, E*n*n], restore_fn)."""
+    E = x.shape[0]
+    nn = x.shape[-1] * x.shape[-2]
+    batch_shape = x.shape[1:-2]
+    xf = x.reshape(E, -1, nn)            # [E, BB, nn]
+    xf = jnp.moveaxis(xf, 0, 1).reshape(-1, E * nn)
+
+    def restore(y):
+        y = y.reshape(-1, E, nn)
+        y = jnp.moveaxis(y, 1, 0)
+        return y.reshape(x.shape)
+
+    return xf, restore
+
+
+def dss_sum(x, tables: DssTables):
+    """out[p] = sum over all slots coincident with p (including p itself)."""
+    xf, restore = _flatten_points(x)
+    partners = xf[:, tables.part_idx]                   # [BB, E*nn, 3]
+    contrib = jnp.where(tables.part_mask, partners, 0).sum(axis=-1)
+    return restore(xf + contrib)
+
+
+def dss_scale(x, spheremp, rspheremp, tables: DssTables):
+    """The assembled projection: rspheremp * DSS(spheremp * x).
+
+    This is the make-C0 operation used after every advection stage
+    (prim_advection_mod.F90:898-960, viscosity_mod.F90:445 `make_C0`).
+    """
+    nd = x.ndim
+    sp = spheremp.reshape(spheremp.shape[:1] + (1,) * (nd - 3)
+                          + spheremp.shape[1:])
+    rsp = rspheremp.reshape(sp.shape)
+    return dss_scale_pre(x * sp, rsp, tables)
+
+
+def dss_scale_pre(xw, rsp, tables: DssTables):
+    return dss_sum(xw, tables) * rsp
+
+
+def neighbor_minmax(qmin, qmax, tables: DssTables):
+    """Min/max over each element and its (up to 8) point-sharing neighbors.
+
+    Equivalent to the reference's constant-field pack / unpackMin/Max /
+    corner-read trick (viscosity_mod.F90:748-816): because the packed field
+    is constant per element, the corner values after unpack equal the min/max
+    over self plus all neighbors.  qmin/qmax are [E, batch...].
+    """
+    gmin = jnp.min(qmin[tables.nbr], axis=1)
+    gmax = jnp.max(qmax[tables.nbr], axis=1)
+    return gmin, gmax
+
+
+# ---------------------------------------------------------------------------
+# host-side reference implementation (numpy), used by tests
+# ---------------------------------------------------------------------------
+
+def dss_sum_np(x: np.ndarray, gid: np.ndarray, ngid: int) -> np.ndarray:
+    """Scatter-add by global point id then gather back (any [E, n, n] x)."""
+    flat = x.reshape(-1)
+    acc = np.zeros(ngid, dtype=x.dtype)
+    np.add.at(acc, gid.reshape(-1), flat)
+    return acc[gid.reshape(-1)].reshape(x.shape)
