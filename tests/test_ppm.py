@@ -1,0 +1,63 @@
+"""PPM vertical remap unit tests (vertremap semantics, see ops/ppm.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from transport_se_tpu.ops.ppm import remap_q_ppm
+
+
+def _remap(qdp, d1, d2):
+    return np.asarray(remap_q_ppm(jnp.asarray(qdp), jnp.asarray(d1),
+                                  jnp.asarray(d2)))
+
+
+def test_identity_when_grids_equal():
+    rng = np.random.default_rng(0)
+    nlev, n, q = 72, 5, 3
+    d = rng.uniform(0.5, 2.0, (n, nlev))
+    qdp = rng.uniform(0.0, 1.0, (n, q, nlev)) * d[:, None]
+    out = _remap(qdp, d, d)
+    assert np.abs(out - qdp).max() < 1e-13 * np.abs(qdp).max()
+
+
+def test_column_mass_conserved():
+    rng = np.random.default_rng(1)
+    nlev, n, q = 72, 7, 4
+    d1 = rng.uniform(0.5, 2.0, (n, nlev))
+    # small deformation (never exceeds one cell, like the model)
+    d2 = d1 * (1.0 + 0.2 * rng.uniform(-1, 1, (n, nlev)))
+    d2 *= (d1.sum(-1) / d2.sum(-1))[:, None]   # same column totals
+    qdp = rng.uniform(0.0, 1.0, (n, q, nlev)) * d1[:, None]
+    out = _remap(qdp, d1, d2)
+    m0 = qdp.sum(-1)
+    m1 = out.sum(-1)
+    assert np.abs((m1 - m0) / m0).max() < 1e-12
+
+
+def test_monotone_no_new_extrema():
+    """The monotone reconstruction keeps remapped mixing ratios within the
+    source column's range."""
+    rng = np.random.default_rng(2)
+    nlev, n = 72, 6
+    d1 = np.ones((n, nlev))
+    shift = 0.3 * rng.uniform(-1, 1, (n, nlev))
+    d2 = d1 + np.diff(np.pad(shift, ((0, 0), (1, 0))), axis=-1)
+    d2 *= (d1.sum(-1) / d2.sum(-1))[:, None]
+    q = np.where(np.arange(nlev)[None, :] % 7 < 3, 1.0, 0.0)
+    q = np.broadcast_to(q, (n, nlev))[:, None, :]
+    qdp = q * d1[:, None]
+    out = _remap(qdp, d1, d2)
+    mix = out / d2[:, None]
+    assert mix.min() > -1e-12
+    assert mix.max() < 1.0 + 1e-12
+
+
+def test_constant_mixing_ratio_preserved():
+    rng = np.random.default_rng(3)
+    nlev, n = 72, 4
+    d1 = rng.uniform(0.5, 2.0, (n, nlev))
+    d2 = d1 * (1.0 + 0.1 * rng.uniform(-1, 1, (n, nlev)))
+    d2 *= (d1.sum(-1) / d2.sum(-1))[:, None]
+    qdp = 0.7 * d1[:, None, :] * np.ones((n, 2, nlev))
+    out = _remap(qdp, d1, d2)
+    assert np.abs(out / d2[:, None] - 0.7).max() < 1e-13
