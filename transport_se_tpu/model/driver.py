@@ -1,0 +1,120 @@
+"""Simulation driver: the prim_main / prim_run_subcycle loop.
+
+Host-level loop over remap intervals with a jitted subcycle step
+(reference: src/prim_main.F90:142-175 main loop;
+prim_driver_mod.F90:701 `prim_run_subcycle`).  For benchmarking, a fully
+on-device multi-interval step (lax.fori_loop over subcycles) is provided so
+the whole run is one XLA program with zero host round-trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time as _time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..constants import P0
+from ..diagnostics import StateLog, tracer_diagnostics
+from ..timing import timers
+from .core import Model, build_model, initial_qdp, make_subcycle_fn
+
+
+@dataclasses.dataclass
+class RunResult:
+    model: Model
+    q_init: np.ndarray       # [E, q, k, n, n] mixing ratio at t=0
+    q_final: np.ndarray      # [E, q, k, n, n] mixing ratio at end
+    ps_final: np.ndarray
+    nsteps: int
+    log: StateLog
+    wall_seconds: float
+
+
+def reference_dp(m: Model, ps_v):
+    return ((m.hyai[1:] - m.hyai[:-1])[None, :, None, None] * P0
+            + (m.hybi[1:] - m.hybi[:-1])[None, :, None, None]
+            * ps_v[:, None])
+
+
+def run_simulation(cfg: Config, model: Optional[Model] = None,
+                   verbose: bool = True,
+                   history=None) -> RunResult:
+    """Run cfg.nsteps tracer steps; returns initial/final mixing ratios.
+
+    `history` is an optional HistoryWriter (io/history.py) that receives
+    (model, nstep, Q, ps_v) at each output interval.
+    """
+    m = model if model is not None else build_model(cfg)
+    nsteps = cfg.nsteps
+    if nsteps % cfg.rsplit != 0:
+        raise ValueError(f"nsteps={nsteps} not divisible by rsplit")
+    n_subcycles = nsteps // cfg.rsplit
+
+    with timers.time("prim_init"):
+        Qdp = jax.jit(lambda: initial_qdp(m))()
+        q_init = np.asarray(Qdp / m.dp0col[None, None, :, None, None])
+        step = jax.jit(make_subcycle_fn(m, diagnostics=False))
+
+    log = StateLog()
+    if not cfg.disable_diagnostics:
+        Q0 = Qdp / m.dp0col[None, None, :, None, None]
+        mass, var, qmn, qmx = tracer_diagnostics(m, Qdp, Q0)
+        log.record(0, mass, var, qmn, qmx, cfg.tstep, verbose)
+    if history is not None:
+        history.write(m, 0, q_init,
+                      np.full((m.grid.nelem, 4, 4), P0))
+
+    nstep = jnp.asarray(0, jnp.int32)
+    t0 = _time.perf_counter()
+    ps_v = None
+    for isub in range(n_subcycles):
+        with timers.time("prim_run"):
+            Qdp, ps_v, nstep, min_dp = step(Qdp, nstep)
+        cur = int(nstep)
+        check = (not cfg.disable_diagnostics
+                 and (cur % cfg.statefreq < cfg.rsplit or
+                      isub == n_subcycles - 1))
+        if check:
+            if float(min_dp) < 0:
+                raise RuntimeError(
+                    "negative layer thickness. timestep or remap time too "
+                    "large (prim_advection_mod.F90:1323)")
+            dp_ref = reference_dp(m, ps_v)
+            Q = Qdp / dp_ref[:, None]
+            mass, var, qmn, qmx = tracer_diagnostics(m, Qdp, Q)
+            log.record(cur, mass, var, qmn, qmx,
+                       cfg.tstep * cfg.statefreq, verbose)
+        if history is not None and history.due(cur, cfg):
+            dp_ref = reference_dp(m, ps_v)
+            history.write(m, cur, np.asarray(Qdp / dp_ref[:, None]),
+                          np.asarray(ps_v))
+    jax.block_until_ready(Qdp)
+    wall = _time.perf_counter() - t0
+
+    dp_ref = reference_dp(m, ps_v)
+    q_final = np.asarray(Qdp / dp_ref[:, None])
+    return RunResult(model=m, q_init=q_init, q_final=q_final,
+                     ps_final=np.asarray(ps_v), nsteps=nsteps, log=log,
+                     wall_seconds=wall)
+
+
+def make_multi_interval_fn(m: Model, n_subcycles: int):
+    """One XLA program advancing n_subcycles remap intervals (bench mode)."""
+    step = make_subcycle_fn(m, diagnostics=False)
+
+    def many(Qdp, nstep):
+        def body(_, carry):
+            Qdp, nstep, _ = carry
+            Qdp, ps_v, nstep, min_dp = step(Qdp, nstep)
+            return Qdp, nstep, ps_v
+        ps0 = jnp.zeros(Qdp.shape[:1] + Qdp.shape[-2:], Qdp.dtype)
+        Qdp, nstep, ps_v = jax.lax.fori_loop(
+            0, n_subcycles, body, (Qdp, nstep, ps0))
+        return Qdp, nstep, ps_v
+
+    return many
