@@ -52,7 +52,7 @@ from ..constants import P0
 from ..grid.cubesphere import Grid, build_grid
 from ..grid.vcoord import HVCoord, hvcoord_acme72, hvcoord_dcmip
 from ..ops import sphere_ops as so
-from ..ops.dss import DssTables, dss_sum, neighbor_minmax
+from ..ops.dss import DssTables
 from ..ops.limiter import limiter_optim_iter_full, limiter2d_zero
 from ..ops.ppm import remap_q_ppm
 from . import dcmip
@@ -135,7 +135,7 @@ def _dss_scale(m: Model, x):
     sp = m.spheremp.reshape((m.spheremp.shape[0],) + (1,) * (nd - 3)
                             + m.spheremp.shape[1:])
     rsp = m.rspheremp.reshape(sp.shape)
-    return dss_sum(x * sp, m.tables) * rsp
+    return m.tables.dss_sum(x * sp) * rsp
 
 
 def euler_step(m: Model, Qdp_n0, qmin, qmax, divdp, divdp_proj, vn0,
@@ -157,16 +157,16 @@ def euler_step(m: Model, Qdp_n0, qmin, qmax, divdp, divdp_proj, vn0,
     rhs_viss = 0
     Qtens_bih = None
     if rhs_multiplier == 0:
-        qmin, qmax = neighbor_minmax(qmin_l, qmax_l, m.tables)
+        qmin, qmax = m.tables.neighbor_minmax(qmin_l, qmax_l)
     elif rhs_multiplier == 1:
         qmin = jnp.minimum(qmin, qmin_l)
         qmax = jnp.maximum(qmax, qmax_l)
     else:  # rhs_multiplier == 2: biharmonic + fresh neighbor min/max
         rhs_viss = 3
-        qmin, qmax = neighbor_minmax(qmin_l, qmax_l, m.tables)
+        qmin, qmax = m.tables.neighbor_minmax(qmin_l, qmax_l)
         if cfg.nu_q > 0:
             lap1 = so.laplace_sphere_wk(Q, m.deriv, m.Dinv, m.spheremp)
-            lap1 = dss_sum(lap1, m.tables) \
+            lap1 = m.tables.dss_sum(lap1) \
                 * m.rspheremp[:, None, None, :, :]
             lap2 = so.laplace_sphere_wk(lap1, m.deriv, m.Dinv, m.spheremp)
             Qtens_bih = (-rhs_viss * dt * cfg.nu_q
@@ -249,7 +249,7 @@ def vertical_remap(m: Model, Qdp, divdp_proj, dt_remap):
     dp_ref = ((m.hyai[1:] - m.hyai[:-1])[None, :, None, None] * P0
               + (m.hybi[1:] - m.hybi[:-1])[None, :, None, None]
               * ps_v[:, None])
-    min_dp = dp_star.min()
+    min_dp = m.tables.global_min(dp_star.min())
 
     # column layout for the PPM kernel: [..., Q, nlev]
     Qcol = jnp.moveaxis(Qdp, (1, 2), (3, 4))          # [E,n,n,q,k]

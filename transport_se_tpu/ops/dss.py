@@ -24,7 +24,12 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class DssTables:
-    """Device-resident assembly tables built from grid.cubesphere."""
+    """Device-resident assembly tables built from grid.cubesphere.
+
+    The methods (dss_sum / neighbor_minmax / global_min) are the interface
+    the model core programs against; parallel/halo.py provides a sharded
+    implementation of the same interface for use inside shard_map.
+    """
     part_idx: jnp.ndarray    # [E*16, 3] int32
     part_mask: jnp.ndarray   # [E*16, 3] bool
     nbr: jnp.ndarray         # [E, 9] int32 (self first, self-padded)
@@ -38,6 +43,15 @@ class DssTables:
             nbr=jnp.asarray(grid.nbr),
             nelem=grid.nelem,
         )
+
+    def dss_sum(self, x):
+        return dss_sum(x, self)
+
+    def neighbor_minmax(self, qmin, qmax):
+        return neighbor_minmax(qmin, qmax, self)
+
+    def global_min(self, x):
+        return x.min()
 
 
 def _flatten_points(x):
