@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Headline benchmark: NE30 perf config (35 tracers, 72 levels, limiter 8,
+hyperviscosity, diagnostics off) on one TPU chip, in f32.
+
+Metric: gridpoint-tracers advanced per second =
+    steps * E * 16 * nlev * qsize / wall.
+
+vs_baseline compares against the reference's best published throughput —
+the NE120 perf run on 40 Edison nodes / 960 cores: 48 steps of
+86400*16*72*35 gridpoint-tracers in 42.643 s = 3.53e9 /s (BASELINE.md;
+reference README:173-175).  A value > 1 means ONE TPU chip outruns the
+960-core 2015 cluster.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+NE = int(os.environ.get("BENCH_NE", "30"))
+QSIZE = int(os.environ.get("BENCH_QSIZE", "35"))
+SUBCYCLES = int(os.environ.get("BENCH_SUBCYCLES", "8"))
+BASELINE = 3.53e9  # gridpoint-tracers/s, reference NE120 perf on 960 cores
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from transport_se_tpu.config import perf_config
+    from transport_se_tpu.model.core import (build_model, initial_qdp,
+                                             make_subcycle_fn)
+
+    cfg = perf_config(NE, dtype="f32")
+    cfg = type(cfg)(**{**cfg.__dict__, "qsize": QSIZE})
+    m = build_model(cfg)
+    step = jax.jit(make_subcycle_fn(m, diagnostics=False))
+
+    Qdp = jax.jit(lambda: initial_qdp(m))()
+    nstep = jnp.asarray(0, jnp.int32)
+
+    # warmup (compile + 1 interval)
+    Qdp_w, ps, nstep_w, _ = step(Qdp, nstep)
+    jax.block_until_ready(Qdp_w)
+
+    t0 = time.perf_counter()
+    for _ in range(SUBCYCLES):
+        Qdp, ps, nstep, _ = step(Qdp, nstep)
+    jax.block_until_ready(Qdp)
+    wall = time.perf_counter() - t0
+
+    steps = SUBCYCLES * cfg.rsplit
+    gpt = steps * m.grid.nelem * 16 * cfg.nlev * cfg.qsize
+    rate = gpt / wall
+    print(json.dumps({
+        "metric": f"NE{NE} {QSIZE}-tracer gridpoint-tracers/s per chip",
+        "value": round(rate / 1e9, 4) * 1e9,
+        "unit": "gridpoint-tracers/s",
+        "vs_baseline": round(rate / BASELINE, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

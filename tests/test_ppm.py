@@ -61,3 +61,24 @@ def test_constant_mixing_ratio_preserved():
     qdp = 0.7 * d1[:, None, :] * np.ones((n, 2, nlev))
     out = _remap(qdp, d1, d2)
     assert np.abs(out / d2[:, None] - 0.7).max() < 1e-13
+
+
+def test_fast_path_matches_general():
+    """The select-based fast path equals the search-based path whenever the
+    grid deforms less than one cell — the regime the model (and the
+    reference's own walking search) operates in."""
+    from transport_se_tpu.ops.ppm import remap_q_ppm_general
+    rng = np.random.default_rng(7)
+    nlev, n, q = 72, 9, 5
+    d1 = rng.uniform(0.5, 2.0, (n, nlev))
+    # interface displacement bounded by 0.45 * min layer thickness
+    eps = 0.45 * d1.min() * rng.uniform(-1, 1, (n, nlev - 1))
+    pio = np.concatenate([np.zeros((n, 1)), np.cumsum(d1, -1)], -1)
+    pin = pio.copy()
+    pin[:, 1:-1] += eps
+    d2 = np.diff(pin, axis=-1)
+    qdp = rng.uniform(0.0, 1.0, (n, q, nlev)) * d1[:, None]
+    fast = _remap(qdp, d1, d2)
+    gen = np.asarray(remap_q_ppm_general(
+        jnp.asarray(qdp), jnp.asarray(d1), jnp.asarray(d2)))
+    assert np.abs(fast - gen).max() < 1e-13 * np.abs(qdp).max()

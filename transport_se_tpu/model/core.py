@@ -88,8 +88,8 @@ def build_model(cfg: Config, grid: Optional[Grid] = None) -> Model:
     grid = grid if grid is not None else build_grid(cfg.ne)
     if cfg.vcoord == "acme72":
         hv = hvcoord_acme72()
-    elif cfg.vcoord == "dcmip64":
-        hv = hvcoord_dcmip(64)
+    elif cfg.vcoord.startswith("dcmip"):
+        hv = hvcoord_dcmip(int(cfg.vcoord[len("dcmip"):]))
     else:
         raise ValueError(cfg.vcoord)
     if hv.nlev != cfg.nlev:

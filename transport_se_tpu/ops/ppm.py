@@ -110,8 +110,34 @@ def _integrate_parabola(coefs, x1, x2):
             + a2 * (x2 ** 3 - x1 ** 3) / 3.0)
 
 
+def _shift_left_clamp(a):
+    """a[..., j] -> a[..., j+1] with the last entry clamped."""
+    return jnp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
+
+
+def _shift_right_clamp(a):
+    """a[..., j] -> a[..., j-1] with the first entry clamped."""
+    return jnp.concatenate([a[..., :1], a[..., :-1]], axis=-1)
+
+
+def _make_sel(b_up, b_dn):
+    """Selector for a[..., kk0] with kk0 = k0 + b_up - b_dn (cap-masked,
+    mutually exclusive booleans)."""
+    def sel(a):
+        return jnp.where(b_up, _shift_left_clamp(a),
+                         jnp.where(b_dn, _shift_right_clamp(a), a))
+    return sel
+
+
 def remap_q_ppm(qdp, dp1, dp2):
     """Remap tracer mass qdp from layer grid dp1 to layer grid dp2.
+
+    TPU fast path: exploits the property (relied on by the reference too,
+    prim_advection_mod.F90:153-156) that the Lagrangian grid never deforms
+    past one cell, so the enclosing source cell of each new interface is
+    kk0 = k0 + (pio[k0+1] <= pin[k0+1]) — a boolean select + shift instead
+    of a gather, which on TPU is ~1000x cheaper than take_along_axis along
+    the minor axis.  `remap_q_ppm_general` keeps the search-based path.
 
     Args:
       qdp: [..., Q, nlev]   tracer mass per layer (source grid)
@@ -119,6 +145,58 @@ def remap_q_ppm(qdp, dp1, dp2):
       dp2: [..., nlev]      target layer thicknesses (same column totals)
     Returns remapped qdp, conserving each column's total mass exactly.
     """
+    nlev = dp1.shape[-1]
+    zeros = jnp.zeros_like(dp1[..., :1])
+
+    pio = jnp.concatenate([zeros, jnp.cumsum(dp1, axis=-1)], axis=-1)
+    pin = jnp.concatenate([zeros, jnp.cumsum(dp2, axis=-1)], axis=-1)
+    pin = pin.at[..., -1].set(pio[..., -1])
+
+    dpo_ext = jnp.concatenate(
+        [dp1[..., 1:2], dp1[..., 0:1], dp1, dp1[..., -1:], dp1[..., -2:-1]],
+        axis=-1)
+
+    # kk0 = k0 + b_up - b_dn, capped to [0, nlev-1]:
+    #   b_up: new interface lies in the next-higher source cell
+    #   b_dn: it lies one cell lower (pio increasing => mutually exclusive)
+    tgt = pin[..., 1:]                                  # pin[k0+1], [.., nlev]
+    b_up = (pio[..., 1:] <= tgt).at[..., -1].set(False)
+    b_dn = pio[..., :-1] > tgt                          # False at k0=0
+    sel = _make_sel(b_up, b_dn)
+
+    dpo_kk = sel(dp1)
+    pio_kk = sel(pio[..., :-1])                         # pio[kk0]
+    pio_kk1 = sel(pio[..., 1:])                         # pio[kk0+1]
+    z2 = (tgt - 0.5 * (pio_kk + pio_kk1)) / dpo_kk      # [..., nlev]
+
+    # tracer-dependent part, vectorized over Q
+    ao = qdp / dp1[..., None, :]
+    masso = jnp.concatenate(
+        [jnp.zeros_like(qdp[..., :1]), jnp.cumsum(qdp, axis=-1)], axis=-1)
+    ao_ext = jnp.concatenate(
+        [ao[..., 1:2], ao[..., 0:1], ao, ao[..., -1:], ao[..., -2:-1]],
+        axis=-1)
+    dpo_ext_q = jnp.broadcast_to(dpo_ext[..., None, :], ao_ext.shape)
+    coefs = compute_ppm_coefs(ao_ext, dpo_ext_q)        # [..., Q, 3, nlev]
+
+    selq = _make_sel(b_up[..., None, :], b_dn[..., None, :])
+    masso_kk = selq(masso[..., :-1])
+    c0 = selq(coefs[..., 0, :])
+    c1 = selq(coefs[..., 1, :])
+    c2 = selq(coefs[..., 2, :])
+
+    z2q = z2[..., None, :]
+    x1 = -0.5
+    integ = (c0 * (z2q - x1) + c1 * (z2q * z2q - x1 * x1) / 2.0
+             + c2 * (z2q ** 3 - x1 ** 3) / 3.0)
+    massn = masso_kk + integ * dpo_kk[..., None, :]
+    return jnp.diff(massn, axis=-1,
+                    prepend=jnp.zeros_like(massn[..., :1]))
+
+
+def remap_q_ppm_general(qdp, dp1, dp2):
+    """Search-based cell location (handles deformation of many cells);
+    reference/testing path."""
     nlev = dp1.shape[-1]
     zeros = jnp.zeros_like(dp1[..., :1])
 

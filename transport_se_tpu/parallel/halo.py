@@ -99,7 +99,7 @@ def build_shard_plan(grid, nshards: int) -> ShardPlan:
                 break
         if not placed:
             rounds.append([(s, d)])
-    nrounds = max(len(rounds), 1)
+    nrounds = len(rounds)   # 0 when there is no cross-shard traffic (S=1)
     maxsend = max((len(v) for v in traffic.values()), default=1)
 
     send_peer = np.full((nshards, nrounds), -1, np.int32)
