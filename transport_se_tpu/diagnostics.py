@@ -21,7 +21,7 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from .constants import DD_PI, G
+from .constants import DD_PI, G, RREARTH
 
 
 def global_integral(m, h):
@@ -48,6 +48,76 @@ def tracer_diagnostics(m, Qdp, Q):
     qmin = Q.min(axis=(0, 2, 3, 4))
     qmax = Q.max(axis=(0, 2, 3, 4))
     return mass, var, qmin, qmax
+
+
+def print_cfl(m, cfg, umax: float = 120.0, verbose: bool = True):
+    """Startup stability-limit self-check (global_norms_mod.F90:232
+    `print_cfl`): prints the advective and hyperviscous dt limits from the
+    metric's Dinv pseudo-norm and the published GLL derivative eigenvalues
+    (:276-283 "Eigenvalues calculated by folks at UMich": np=4 ->
+    lambda_max=2.74, lambda_vis=30.0).
+
+    Returns (dt_tracer_limit, dt_hypervis_limit) in seconds so the driver
+    can warn on violation; reference formulas at :516-537.
+    """
+    lambda_max = {2: 0.5, 3: 1.5, 4: 2.74}.get(m.grid.np, 0.0)
+    lambda_vis = {3: 12.0, 4: 30.0}.get(m.grid.np, 0.0)
+    Dinv = np.asarray(m.Dinv, dtype=np.float64)   # [E, i, j, 2, 2]
+    gx = Dinv[..., 0, :]   # contravariant basis rows (cube_mod.F90:329-336)
+    gy = Dinv[..., 1, :]
+    norm = np.sqrt((gx * gx).sum(-1) + (gy * gy).sum(-1)
+                   + 2.0 * np.abs((gx * gy).sum(-1)))
+    max_normDinv = float(norm.max())
+    min_gw = float(np.asarray(m.grid.gll_w).min())
+
+    dt_euler = min_gw / (umax * max_normDinv * RREARTH)
+    dt_tracer = 1.0 / (umax * max_normDinv * lambda_max * RREARTH)
+    normDinv_hypervis = (lambda_vis ** 2) * (RREARTH * max_normDinv) ** 4
+    dt_hv = (1.0 / (cfg.nu_q * normDinv_hypervis)
+             if cfg.nu_q > 0 else np.inf)
+    if verbose:
+        print("CFL estimates in terms of S=time step stability region")
+        print(f"SSP preservation (120m/s) RKSSP euler step dt  < S * "
+              f"{dt_euler:10.2f} s")
+        print(f"Stability: advective (120m/s)   dt_tracer < S * "
+              f"{dt_tracer:10.2f} s")
+        if cfg.nu_q > 0:
+            print(f"Stability: nu_q   hyperviscosity dt < S * {dt_hv:10.2f} s")
+    return dt_tracer, dt_hv
+
+
+def test_global_integral(m) -> float:
+    """Sphere-area self-check: integral of 1 must be 4*pi to roundoff
+    (global_norms_mod.F90:96 `test_global_integral`; run at prim_init2
+    :437).  Returns the relative error."""
+    one = jnp.ones(m.spheremp.shape, m.spheremp.dtype)
+    return abs(float(global_integral(m, one)) - 1.0)
+
+
+def print_state(m, Qdp, ps_v, vn0=None):
+    """Full prim_printstate analog: min/max/(area-weighted) sum of the wind,
+    surface pressure, and tracers (prim_state_mod.F90:73-392).  Under
+    prescribed winds u/v are the analytic fields so their stats are a
+    self-check, not a prognostic diagnostic."""
+    lines = []
+
+    def stat(name, x, wsum=None):
+        x = np.asarray(x)
+        s = (f"{name:>6}= {x.min(): .15e} {x.max(): .15e}")
+        if wsum is not None:
+            s += f" {float(wsum): .15e}"
+        lines.append(s)
+
+    ps = np.asarray(ps_v)
+    stat("ps", ps, global_integral(m, jnp.asarray(ps)))
+    if vn0 is not None:
+        v = np.asarray(vn0)
+        stat("u", v[:, :, 0])
+        stat("v", v[:, :, 1])
+    Q = np.asarray(Qdp)
+    for q in range(Q.shape[1]):
+        stat(f"Q{q+1}dp", Q[:, q])
+    return "\n".join(lines)
 
 
 @dataclasses.dataclass

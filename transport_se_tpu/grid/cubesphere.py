@@ -53,17 +53,29 @@ def face_to_xyz(face: np.ndarray, a: np.ndarray, b: np.ndarray):
     `cart2cubedsphere`):
       f1: ( 1,  ta,  tb)   f2: (-ta,  1,  tb)   f3: (-1, -ta,  tb)
       f4: ( ta, -1,  tb)   f5: ( tb,  ta, -1)   f6: (-tb,  ta,  1)
+
+    Assembled with per-face masked writes (faces are contiguous blocks of
+    the element axis, but any layout works); trig in float64 — coincidence
+    matching needs agreement far below the 1e-7 grouping quantum and f64
+    trig is consistent to ~1e-15 across faces.
     """
-    ta, tb = np.tan(a), np.tan(b)
-    one = np.ones_like(ta)
-    X = np.where(face == 1, one, 0) + np.where(face == 2, -ta, 0) \
-        + np.where(face == 3, -one, 0) + np.where(face == 4, ta, 0) \
-        + np.where(face == 5, tb, 0) + np.where(face == 6, -tb, 0)
-    Y = np.where(face == 1, ta, 0) + np.where(face == 2, one, 0) \
-        + np.where(face == 3, -ta, 0) + np.where(face == 4, -one, 0) \
-        + np.where(face == 5, ta, 0) + np.where(face == 6, ta, 0)
-    Z = np.where(face <= 4, tb, 0) + np.where(face == 5, -one, 0) \
-        + np.where(face == 6, one, 0)
+    face, a, b = np.broadcast_arrays(face, a, b)
+    ta = np.tan(np.asarray(a, dtype=np.float64))
+    tb = np.tan(np.asarray(b, dtype=np.float64))
+    X = np.empty(face.shape, dtype=np.float64)
+    Y = np.empty_like(X)
+    Z = np.empty_like(X)
+    for f in range(1, 7):
+        mask = face == f
+        if not mask.any():
+            continue
+        t1, t2 = ta[mask], tb[mask]
+        one = np.ones_like(t1)
+        fx, fy, fz = {
+            1: (one, t1, t2), 2: (-t1, one, t2), 3: (-one, -t1, t2),
+            4: (t1, -one, t2), 5: (t2, t1, -one), 6: (-t2, t1, one),
+        }[f]
+        X[mask], Y[mask], Z[mask] = fx, fy, fz
     r = np.sqrt(X * X + Y * Y + Z * Z)
     return X / r, Y / r, Z / r
 
@@ -84,41 +96,36 @@ def _vmap_D(face, x1, x2):
     (cf. cube_mod.F90:658 `vmap`).  Rows: (zonal, meridional); columns:
     (d/dx1, d/dx2).  Arrays broadcast; x1, x2 in face-local [-pi/4, pi/4].
     """
-    t1, t2 = np.tan(x1), np.tan(x2)
-    r2 = 1.0 + t1 * t1 + t2 * t2
-    r = np.sqrt(r2)
-    c1, c2 = np.cos(x1), np.cos(x2)
-    D = np.zeros(np.broadcast(x1, x2).shape + (2, 2), dtype=np.float64)
+    face, x1, x2 = np.broadcast_arrays(face, x1, x2)
+    D = np.zeros(face.shape + (2, 2), dtype=np.float64)
 
     eq = face <= 4
-    # equatorial faces (vmap face 1-4 branch)
-    D11_eq = 1.0 / (r * c1)
-    D21_eq = -t1 * t2 / (c1 * r2)
-    D22_eq = 1.0 / (r2 * c1 * c2 * c2)
+    if eq.any():
+        a1, a2 = x1[eq], x2[eq]
+        t1, t2 = np.tan(a1), np.tan(a2)
+        r2 = 1.0 + t1 * t1 + t2 * t2
+        r = np.sqrt(r2)
+        c1, c2 = np.cos(a1), np.cos(a2)
+        D[eq, 0, 0] = 1.0 / (r * c1)
+        D[eq, 1, 0] = -t1 * t2 / (c1 * r2)
+        D[eq, 1, 1] = 1.0 / (r2 * c1 * c2 * c2)
 
-    pol = np.sqrt(t1 * t1 + t2 * t2)
-    pol_safe = np.where(pol == 0, 1.0, pol)
-    # north pole (face 6 branch)
-    D11_n = -t2 / (pol_safe * c1 * c1 * r)
-    D12_n = t1 / (pol_safe * c2 * c2 * r)
-    D21_n = -t1 / (pol_safe * c1 * c1 * r2)
-    D22_n = -t2 / (pol_safe * c2 * c2 * r2)
-    # south pole (face 5 branch): all four entries flip sign
-    D11_s, D12_s, D21_s, D22_s = -D11_n, -D12_n, -D21_n, -D22_n
-
-    at_pole = pol == 0
-    D[..., 0, 0] = np.where(eq, D11_eq,
-                            np.where(at_pole, 1.0,
-                                     np.where(face == 6, D11_n, D11_s)))
-    D[..., 0, 1] = np.where(eq, 0.0,
-                            np.where(at_pole, 0.0,
-                                     np.where(face == 6, D12_n, D12_s)))
-    D[..., 1, 0] = np.where(eq, D21_eq,
-                            np.where(at_pole, 0.0,
-                                     np.where(face == 6, D21_n, D21_s)))
-    D[..., 1, 1] = np.where(eq, D22_eq,
-                            np.where(at_pole, 1.0,
-                                     np.where(face == 6, D22_n, D22_s)))
+    for f, sign in ((6, 1.0), (5, -1.0)):
+        m = face == f
+        if not m.any():
+            continue
+        a1, a2 = x1[m], x2[m]
+        t1, t2 = np.tan(a1), np.tan(a2)
+        r2 = 1.0 + t1 * t1 + t2 * t2
+        r = np.sqrt(r2)
+        c1, c2 = np.cos(a1), np.cos(a2)
+        pol = np.sqrt(t1 * t1 + t2 * t2)
+        at_pole = pol == 0
+        ps = np.where(at_pole, 1.0, pol)
+        D[m, 0, 0] = np.where(at_pole, 1.0, sign * -t2 / (ps * c1 * c1 * r))
+        D[m, 0, 1] = np.where(at_pole, 0.0, sign * t1 / (ps * c2 * c2 * r))
+        D[m, 1, 0] = np.where(at_pole, 0.0, sign * -t1 / (ps * c1 * c1 * r2))
+        D[m, 1, 1] = np.where(at_pole, 1.0, sign * -t2 / (ps * c2 * c2 * r2))
     return D
 
 
@@ -198,8 +205,13 @@ def _union_find_gids(xyz: np.ndarray, quantum: float) -> np.ndarray:
         union_groups(keys)
 
     roots = np.array([find(i) for i in range(n)], dtype=np.int64)
-    _, gid = np.unique(roots, return_inverse=True)
-    return gid.astype(np.int32)
+    # canonical numbering: groups ordered by first occurrence, so that
+    # gid[uniq_src[g]] == g and the result matches the native builder
+    _, first_idx, gid = np.unique(roots, return_index=True,
+                                  return_inverse=True)
+    rank = np.empty(first_idx.size, dtype=np.int64)
+    rank[np.argsort(first_idx)] = np.arange(first_idx.size)
+    return rank[gid].astype(np.int32)
 
 
 def _dss_sum_np(x: np.ndarray, gid_flat: np.ndarray, ngid: int) -> np.ndarray:
@@ -207,6 +219,55 @@ def _dss_sum_np(x: np.ndarray, gid_flat: np.ndarray, ngid: int) -> np.ndarray:
     acc = np.zeros(ngid, dtype=x.dtype)
     np.add.at(acc, gid_flat, x)
     return acc[gid_flat]
+
+
+def _tables_from_gids(gid_flat: np.ndarray, ngid: int, E: int):
+    """Vectorized construction of (part_idx, part_mask, nbr, uniq_src) from
+    canonical gids — the numpy fallback for native/gridtables.cpp."""
+    n = gid_flat.size
+    order = np.argsort(gid_flat, kind="stable")
+    sorted_gid = gid_flat[order]
+    starts = np.searchsorted(sorted_gid, np.arange(ngid))
+    ends = np.searchsorted(sorted_gid, np.arange(ngid), side="right")
+    mult = ends - starts
+    if int(mult.max()) > 4:
+        raise RuntimeError(f"point multiplicity {int(mult.max())} > 4")
+    uniq_src = order[starts]  # stable sort => min slot per gid; increasing
+
+    part_idx = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, 3))
+    part_mask = np.zeros((n, 3), dtype=bool)
+    elem_of_slot = (np.arange(n) // (n // E)).astype(np.int32)
+    pair_list = []
+    for m in range(2, 5):
+        gs = np.nonzero(mult == m)[0]
+        if gs.size == 0:
+            continue
+        # members[k, j] = j-th slot of the k-th multiplicity-m group,
+        # in increasing slot order
+        members = order[starts[gs][:, None] + np.arange(m)[None, :]]
+        for j in range(m):
+            others = members[:, [o for o in range(m) if o != j]]
+            part_idx[members[:, j], :m - 1] = others
+            part_mask[members[:, j], :m - 1] = True
+            es = elem_of_slot[members[:, j]]
+            eo = elem_of_slot[others]
+            sel = eo != es[:, None]
+            pair_list.append(np.stack(
+                [np.repeat(es, m - 1)[sel.reshape(-1)],
+                 eo[sel]], axis=1))
+
+    nbr = np.tile(np.arange(E, dtype=np.int32)[:, None], (1, 9))
+    if pair_list:
+        pairs = np.unique(np.concatenate(pair_list), axis=0)  # sorted (e, o)
+        e_vals, e_starts = np.unique(pairs[:, 0], return_index=True)
+        e_ends = np.append(e_starts[1:], pairs.shape[0])
+        counts = e_ends - e_starts
+        if int(counts.max()) > 8:
+            raise RuntimeError(f"element has {int(counts.max())} neighbors > 8")
+        for k in range(1, 9):
+            sel = counts >= k
+            nbr[e_vals[sel], k] = pairs[e_starts[sel] + k - 1, 1]
+    return part_idx, part_mask, nbr, uniq_src
 
 
 # --------------------------------------------------------------------------
@@ -244,61 +305,31 @@ def build_grid(ne: int) -> Grid:
     lon, lat = face_to_lonlat(F, np.asarray(A, np.float64),
                               np.asarray(B, np.float64))
 
-    # --- global point ids.  Min distinct-point chord distance is
-    # ~0.276*delta; use quantum far below that and far above the longdouble
-    # trig noise (~1e-18).
+    # --- global point ids + assembly tables.  Min distinct-point chord
+    # distance is ~0.276*delta; use quantum far below that and far above the
+    # longdouble trig noise (~1e-18).  Native C++ builder when available
+    # (transport_se_tpu/native/gridtables.cpp), vectorized numpy otherwise —
+    # identical output by construction (tested in tests/test_grid.py).
     quantum = min(1e-7, float(delta) * 1e-4)
-    gid = _union_find_gids(xyz.reshape(-1, 3), quantum).reshape(E, NP, NP)
-    ngid = int(gid.max()) + 1
+    from .. import native as _native
+    built = _native.build_point_tables(xyz.reshape(-1, 3), NP * NP, quantum)
+    if built is not None:
+        gid_flat, part_idx, part_mask, nbr, uniq_src = built
+        gid = gid_flat.reshape(E, NP, NP)
+        ngid = uniq_src.size
+    else:
+        gid = _union_find_gids(xyz.reshape(-1, 3), quantum).reshape(E, NP, NP)
+        ngid = int(gid.max()) + 1
+        gid_flat = gid.reshape(-1)
+        part_idx, part_mask, nbr, uniq_src = _tables_from_gids(
+            gid_flat, ngid, E)
     expected = 6 * (ne * (NP - 1)) ** 2 + 2
     if ngid != expected:
         raise RuntimeError(
             f"grid point identification failed: {ngid} unique points, "
             f"expected {expected}")
-
-    # --- partner table: for each flat slot, other slots with the same gid
-    gid_flat = gid.reshape(-1)
-    order = np.argsort(gid_flat, kind="stable")
-    sorted_gid = gid_flat[order]
-    starts = np.searchsorted(sorted_gid, np.arange(ngid))
-    ends = np.searchsorted(sorted_gid, np.arange(ngid), side="right")
-    max_mult = int((ends - starts).max())
-    if max_mult > 4:
-        raise RuntimeError(f"point multiplicity {max_mult} > 4")
-    part_idx = np.tile(np.arange(E * NP * NP, dtype=np.int64)[:, None], (1, 3))
-    part_mask = np.zeros((E * NP * NP, 3), dtype=bool)
-    for g in range(ngid):
-        mem = order[starts[g]:ends[g]]
-        for pos, s in enumerate(mem):
-            others = [m for m in mem if m != s]
-            for c, o in enumerate(others):
-                part_idx[s, c] = o
-                part_mask[s, c] = True
-    part_idx = part_idx.astype(np.int32)
-
-    # --- unique-point owner: first flat slot per gid, columns ordered by
-    # owner slot (analog of dof_mod.F90:322 CreateUniqueIndex)
-    firsts = order[starts]  # stable sort => min flat slot per gid
-    uniq_src = np.sort(firsts)
-    col_of_gid = np.empty(ngid, dtype=np.int64)
-    col_of_gid[gid_flat[uniq_src]] = np.arange(ngid)
-
-    # --- element neighbor table (elements sharing >= 1 point, self first)
-    elem_of_slot = np.arange(E * NP * NP) // (NP * NP)
-    nbr_sets = [set() for _ in range(E)]
-    for g in range(ngid):
-        mem = order[starts[g]:ends[g]]
-        es = {int(elem_of_slot[m]) for m in mem}
-        if len(es) > 1:
-            for e in es:
-                nbr_sets[e].update(es - {e})
-    max_nbr = max(len(s) for s in nbr_sets)
-    nbr = np.tile(np.arange(E, dtype=np.int32)[:, None], (1, 1 + 8))
-    for e, s in enumerate(nbr_sets):
-        lst = sorted(s)
-        nbr[e, 1:1 + len(lst)] = lst
-    if max_nbr > 8:
-        raise RuntimeError(f"element has {max_nbr} neighbors > 8")
+    # canonical numbering invariant: owner slots are in gid order
+    col_of_gid = np.arange(ngid, dtype=np.int64)
 
     # --- metric, two passes with area renormalization
     # (cf. metric_atomic cube_mod.F90:241 and prim_init1 area correction

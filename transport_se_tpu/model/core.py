@@ -90,6 +90,9 @@ def build_model(cfg: Config, grid: Optional[Grid] = None) -> Model:
         hv = hvcoord_acme72()
     elif cfg.vcoord.startswith("dcmip"):
         hv = hvcoord_dcmip(int(cfg.vcoord[len("dcmip"):]))
+    elif cfg.vcoord.startswith("files:"):
+        from ..grid.vcoord import hvcoord_from_files
+        hv = hvcoord_from_files(*cfg.vcoord.split(":")[1:])
     else:
         raise ValueError(cfg.vcoord)
     if hv.nlev != cfg.nlev:

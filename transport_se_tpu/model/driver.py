@@ -43,33 +43,53 @@ def reference_dp(m: Model, ps_v):
 
 def run_simulation(cfg: Config, model: Optional[Model] = None,
                    verbose: bool = True,
-                   history=None) -> RunResult:
+                   history=None,
+                   init_state=None,
+                   restartfreq: int = 0,
+                   restart_writer=None) -> RunResult:
     """Run cfg.nsteps tracer steps; returns initial/final mixing ratios.
 
     `history` is an optional HistoryWriter (io/history.py) that receives
     (model, nstep, Q, ps_v) at each output interval.
+    `init_state` = (Qdp, nstep0) resumes from a restart (runtype 1/2 —
+    prim_driver_mod.F90:512-534); the run continues to cfg.nsteps total.
+    `restart_writer(model, nstep, Qdp, ps_v)` is called every `restartfreq`
+    steps (prim_main.F90:172-174).
     """
     m = model if model is not None else build_model(cfg)
     nsteps = cfg.nsteps
     if nsteps % cfg.rsplit != 0:
         raise ValueError(f"nsteps={nsteps} not divisible by rsplit")
-    n_subcycles = nsteps // cfg.rsplit
 
     with timers.time("prim_init"):
-        Qdp = jax.jit(lambda: initial_qdp(m))()
+        if init_state is not None:
+            Qdp, nstep0 = init_state
+            Qdp = jnp.asarray(Qdp, m.lon.dtype)
+        else:
+            Qdp = jax.jit(lambda: initial_qdp(m))()
+            nstep0 = 0
         q_init = np.asarray(Qdp / m.dp0col[None, None, :, None, None])
         step = jax.jit(make_subcycle_fn(m, diagnostics=False))
+    if (nsteps - nstep0) % cfg.rsplit != 0:
+        raise ValueError("remaining steps not divisible by rsplit")
+    n_subcycles = (nsteps - nstep0) // cfg.rsplit
+    if n_subcycles <= 0:
+        raise ValueError(
+            f"nothing to run: restart nstep={nstep0} >= nmax={nsteps} "
+            "(increase nmax/ndays to continue this run)")
 
     log = StateLog()
     if not cfg.disable_diagnostics:
         Q0 = Qdp / m.dp0col[None, None, :, None, None]
         mass, var, qmn, qmx = tracer_diagnostics(m, Qdp, Q0)
         log.record(0, mass, var, qmn, qmx, cfg.tstep, verbose)
-    if history is not None:
+    if history is not None and init_state is None:
+        # initial record; on restart the t=0 record is in the original
+        # run's history (and q_init/dp0col would be wrong mid-run anyway)
         history.write(m, 0, q_init,
                       np.full((m.grid.nelem, 4, 4), P0))
 
-    nstep = jnp.asarray(0, jnp.int32)
+    nstep = jnp.asarray(nstep0, jnp.int32)
     t0 = _time.perf_counter()
     ps_v = None
     for isub in range(n_subcycles):
@@ -93,6 +113,9 @@ def run_simulation(cfg: Config, model: Optional[Model] = None,
             dp_ref = reference_dp(m, ps_v)
             history.write(m, cur, np.asarray(Qdp / dp_ref[:, None]),
                           np.asarray(ps_v))
+        if (restart_writer is not None and restartfreq > 0
+                and cur % restartfreq < cfg.rsplit):
+            restart_writer(m, cur, np.asarray(Qdp), np.asarray(ps_v))
     jax.block_until_ready(Qdp)
     wall = _time.perf_counter() - t0
 
