@@ -22,6 +22,7 @@ import time
 NE = int(os.environ.get("BENCH_NE", "30"))
 QSIZE = int(os.environ.get("BENCH_QSIZE", "35"))
 SUBCYCLES = int(os.environ.get("BENCH_SUBCYCLES", "8"))
+PALLAS = os.environ.get("BENCH_PALLAS", "1") not in ("0", "", "off")
 BASELINE = 3.53e9  # gridpoint-tracers/s, reference NE120 perf on 960 cores
 
 
@@ -34,7 +35,9 @@ def main():
                                              make_subcycle_fn)
 
     cfg = perf_config(NE, dtype="f32")
-    cfg = type(cfg)(**{**cfg.__dict__, "qsize": QSIZE})
+    cfg = type(cfg)(**{**cfg.__dict__, "qsize": QSIZE,
+                       "use_pallas": PALLAS and
+                       jax.devices()[0].platform != "cpu"})
     m = build_model(cfg)
     step = jax.jit(make_subcycle_fn(m, diagnostics=False))
 

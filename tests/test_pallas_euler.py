@@ -1,0 +1,99 @@
+"""Fused Pallas euler-stage kernel == the XLA pipeline (interpret on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transport_se_tpu.config import Config
+from transport_se_tpu.model import dcmip
+from transport_se_tpu.model.core import build_model, initial_qdp
+from transport_se_tpu.ops import sphere_ops as so
+from transport_se_tpu.ops.limiter import limiter_optim_iter_full
+from transport_se_tpu.ops.pallas_euler import fused_advect_limit
+
+CFG = Config(ne=2, nlev=8, qsize=3, tstep=1200.0, vcoord="dcmip8",
+             test_case="dcmip1-1", nmax=3, dtype="f64")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    m = build_model(CFG)
+    Qdp = initial_qdp(m)
+    v = dcmip.winds(CFG.test_case, m.lon, m.lat, m.etam, 0.0)
+    vn0 = v * m.dp0col[None, :, None, None, None]
+    divdp = so.divergence_sphere(vn0, m.deriv, m.Dinv, m.metdet, m.rmetdet)
+    dp = jnp.broadcast_to(m.dp0col[None, :, None, None],
+                          divdp.shape).astype(Qdp.dtype)
+    Q = Qdp / dp[:, None]
+    qmin, qmax = m.tables.neighbor_minmax(Q.min(axis=(-2, -1)),
+                                          Q.max(axis=(-2, -1)))
+    return m, Qdp, vn0, dp, divdp, qmin, qmax
+
+
+def _xla_stage(m, Qdp, vn0, dp, divdp, qmin, qmax, dt, bih=None):
+    Vstar = vn0 / dp[:, :, None]
+    gradQ = Vstar[:, None] * Qdp[:, :, :, None]
+    Qtens = Qdp - dt * so.divergence_sphere(
+        gradQ, m.deriv, m.Dinv, m.metdet, m.rmetdet)
+    if bih is not None:
+        Qtens = Qtens + bih
+    dp_star = dp - dt * divdp
+    shp = Qtens.shape
+    flat = shp[:-2] + (16,)
+    sp = jnp.broadcast_to(m.spheremp[:, None, None], shp).reshape(flat)
+    dps = jnp.broadcast_to(dp_star[:, None], shp).reshape(flat)
+    Qt, qmin2, qmax2 = limiter_optim_iter_full(
+        Qtens.reshape(flat), sp, qmin, qmax, dps)
+    out = Qt.reshape(shp) * m.spheremp[:, None, None]
+    return out, qmin2, qmax2
+
+
+def _model_arrays(m):
+    return dict(Dinv=m.Dinv, metdet=m.metdet, rmetdet=m.rmetdet,
+                spheremp=m.spheremp, deriv=m.grid.deriv)
+
+
+def test_fused_matches_xla_stage(setup):
+    m, Qdp, vn0, dp, divdp, qmin, qmax = setup
+    dt = 600.0
+    want, wmin, wmax = _xla_stage(m, Qdp, vn0, dp, divdp, qmin, qmax, dt)
+    got, gmin, gmax = fused_advect_limit(
+        Qdp, vn0, dp, divdp, qmin, qmax, _model_arrays(m), dt,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-11, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gmin), np.asarray(wmin),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(gmax), np.asarray(wmax),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_fused_with_biharmonic_term(setup):
+    m, Qdp, vn0, dp, divdp, qmin, qmax = setup
+    dt = 600.0
+    bih = 1e-4 * jnp.sin(Qdp)  # arbitrary smooth tendency of the same shape
+    want, _, _ = _xla_stage(m, Qdp, vn0, dp, divdp, qmin, qmax, dt, bih)
+    got, _, _ = fused_advect_limit(
+        Qdp, vn0, dp, divdp, qmin, qmax, _model_arrays(m), dt,
+        rhs_viss=3, bih=bih, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-11, atol=1e-9)
+
+
+def test_fused_mass_conservation(setup):
+    m, Qdp, vn0, dp, divdp, qmin, qmax = setup
+    got, _, _ = fused_advect_limit(
+        Qdp, vn0, dp, divdp, qmin, qmax, _model_arrays(m), 600.0,
+        interpret=True)
+    # spheremp*Qtens sums: the limiter preserves sum(spheremp*dp_star*x)
+    # against the unlimited Qtens — check limited vs unlimited elementwise
+    # masses agree per (element, tracer, level)
+    Vstar = vn0 / dp[:, :, None]
+    gradQ = Vstar[:, None] * Qdp[:, :, :, None]
+    Qtens = Qdp - 600.0 * so.divergence_sphere(
+        gradQ, m.deriv, m.Dinv, m.metdet, m.rmetdet)
+    want_mass = (Qtens * m.spheremp[:, None, None]).sum(axis=(-2, -1))
+    got_mass = np.asarray(got).sum(axis=(-2, -1))
+    np.testing.assert_allclose(got_mass, np.asarray(want_mass),
+                               rtol=1e-10)

@@ -82,3 +82,40 @@ def test_fast_path_matches_general():
     gen = np.asarray(remap_q_ppm_general(
         jnp.asarray(qdp), jnp.asarray(d1), jnp.asarray(d2)))
     assert np.abs(fast - gen).max() < 1e-13 * np.abs(qdp).max()
+
+
+def test_alg2_no_bc_variant():
+    """vert_remap_q_alg=2: piecewise-constant boundary cells, conservative,
+    identical to alg 0 in the interior (prim_advection_mod.F90:336-342)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from transport_se_tpu.ops.ppm import remap_q_ppm, remap_q_ppm_general
+
+    rng = np.random.default_rng(5)
+    nlev, Q = 24, 3
+    dp1 = jnp.asarray(rng.uniform(0.8, 1.2, (7, nlev)))
+    shift = jnp.asarray(rng.uniform(-0.3, 0.3, (7, nlev - 1)))
+    # target grid: same column total, interfaces perturbed < 1 cell
+    p1 = jnp.cumsum(dp1, axis=-1)
+    pin_int = p1[..., :-1] + shift * jnp.minimum(dp1[..., :-1], dp1[..., 1:])
+    pin = jnp.concatenate([jnp.zeros_like(p1[..., :1]), pin_int,
+                           p1[..., -1:]], axis=-1)
+    dp2 = jnp.diff(pin, axis=-1)
+    qdp = jnp.asarray(rng.uniform(0.0, 1.0, (7, Q, nlev))) * dp1[:, None]
+
+    out0 = remap_q_ppm(qdp, dp1, dp2, alg=0)
+    out2 = remap_q_ppm(qdp, dp1, dp2, alg=2)
+    out2g = remap_q_ppm_general(qdp, dp1, dp2, alg=2)
+
+    # conservation for both algorithms
+    np.testing.assert_allclose(np.asarray(out2.sum(-1)),
+                               np.asarray(qdp.sum(-1)), rtol=1e-12)
+    # fast path == search path for alg 2 as well
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out2g),
+                               rtol=1e-12, atol=1e-14)
+    # interior (cells >= 3 from each boundary) unaffected by the bc choice
+    np.testing.assert_allclose(np.asarray(out0[..., 3:-3]),
+                               np.asarray(out2[..., 3:-3]),
+                               rtol=1e-12, atol=1e-14)
+    # the variants genuinely differ at the boundary
+    assert float(jnp.abs(out0 - out2).max()) > 0

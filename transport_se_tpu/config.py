@@ -46,6 +46,8 @@ class Config:
 
     # numerics
     dtype: str = "f64"            # f64 (verification) | f32 (TPU perf)
+    use_pallas: bool = False      # Pallas TPU kernels for the hot ops
+                                  # (limiter); CPU/interpret fallback off
 
     # diagnostics
     statefreq: int = 20
@@ -62,8 +64,11 @@ class Config:
             raise NotImplementedError("limiter_option must be 0 or 8")
         if not self.prescribed_wind:
             raise NotImplementedError("only prescribed-wind transport")
-        if self.vert_remap_q_alg != 0:
-            raise NotImplementedError("vert_remap_q_alg=0 only (the default)")
+        if self.vert_remap_q_alg not in (0, 1, 2):
+            raise NotImplementedError(
+                "vert_remap_q_alg must be 0/1 (mirrored-ghost PPM; in this "
+                "mini-app 0 and 1 are the same remap_Q_ppm path) or 2 "
+                "(no-bc PPM, piecewise-constant boundary cells)")
 
     @property
     def np_dtype(self):

@@ -176,6 +176,21 @@ def euler_step(m: Model, Qdp_n0, qmin, qmax, divdp, divdp_proj, vn0,
                          * m.dp0ref[None, None, :, None, None] * lap2
                          / m.spheremp[:, None, None, :, :])
 
+    if cfg.use_pallas and cfg.limiter_option == 8:
+        # fused advection RHS + limiter kernel: VMEM-resident per element
+        # (the cuda_mod.F90:767-928 fusion, TPU-style)
+        from ..ops.pallas_euler import fused_advect_limit
+        arrays = dict(Dinv=m.Dinv, metdet=m.metdet, rmetdet=m.rmetdet,
+                      spheremp=m.spheremp, deriv=m.grid.deriv)
+        dpb = jnp.broadcast_to(dp, divdp.shape)
+        out_w, qmin, qmax = fused_advect_limit(
+            Qdp_n0, vn0, dpb, divdp, qmin, qmax, arrays, float(dt),
+            rhs_viss=rhs_viss, bih=Qtens_bih)
+        Qdp_np1 = m.tables.dss_sum(out_w) \
+            * m.rspheremp[:, None, None, :, :]
+        dssvar_out = _dss_scale(m, dssvar) if dssvar is not None else None
+        return Qdp_np1, qmin, qmax, dssvar_out
+
     # advection velocity from the mean flux (euler_step :845-852)
     Vstar = vn0 / dp[:, :, None]                      # [E,k,2,n,n]
     gradQ = Vstar[:, None] * Qdp_n0[:, :, :, None]    # [E,q,k,2,n,n]
@@ -258,7 +273,7 @@ def vertical_remap(m: Model, Qdp, divdp_proj, dt_remap):
     Qcol = jnp.moveaxis(Qdp, (1, 2), (3, 4))          # [E,n,n,q,k]
     d1 = jnp.moveaxis(dp_star, 1, 3)                  # [E,n,n,k]
     d2 = jnp.moveaxis(dp_ref, 1, 3)
-    Qnew = remap_q_ppm(Qcol, d1, d2)
+    Qnew = remap_q_ppm(Qcol, d1, d2, alg=m.cfg.vert_remap_q_alg)
     Qdp_out = jnp.moveaxis(Qnew, (3, 4), (1, 2))
     return Qdp_out, ps_v, dp_ref, min_dp
 
@@ -274,9 +289,11 @@ def make_subcycle_fn(m: Model, diagnostics: bool = False):
     (prim_driver_mod.F90:788-796).  nstep counts tracer steps.
     """
     cfg = m.cfg
-    dt = jnp.asarray(cfg.tstep, m.lon.dtype)
-    dt_q = jnp.asarray(cfg.dt_tracer, m.lon.dtype)
-    dt_remap = jnp.asarray(cfg.dt_remap, m.lon.dtype)
+    # Python floats: they bake into the trace as constants either way, and
+    # the Pallas kernels need concrete scalars
+    dt = float(cfg.tstep)
+    dt_q = float(cfg.dt_tracer)
+    dt_remap = float(cfg.dt_remap)
 
     def step(Qdp, nstep):
         divdp_proj = None

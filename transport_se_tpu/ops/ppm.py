@@ -26,12 +26,19 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def compute_ppm_coefs(ao_ext, dpo_ext):
+def compute_ppm_coefs(ao_ext, dpo_ext, alg: int = 0):
     """PPM parabola coefficients per cell: [..., 3, nlev].
 
     ao_ext:  [..., nlev+4] cell means with 2 mirrored ghosts each side
     dpo_ext: [..., nlev+4] cell widths likewise
     Index mapping: 0-based g = Fortran j + 1 (Fortran range -1..nlev+2).
+
+    alg follows control_mod.F90:61-66 `vert_remap_q_alg`: 0/1 use the
+    mirrored ghost cells (solid-wall bc, high-order throughout); 2 enforces
+    no bc — the two cells bordering each material boundary become piecewise
+    constant (prim_advection_mod.F90:336-342), and the interior stencil
+    never reaches the ghosts, so the mirrored computation is reused and
+    only the boundary cells are overridden.
     """
     d = dpo_ext
     a = ao_ext
@@ -98,6 +105,14 @@ def compute_ppm_coefs(ao_ext, dpo_ext):
     coef0 = 1.5 * acell - 0.25 * (al + ar)
     coef1 = ar - al
     coef2 = -6.0 * acell + 3.0 * (al + ar)
+    if alg == 2:
+        # piecewise-constant boundary cells (zeroth moment = cell mean
+        # keeps conservation; prim_advection_mod.F90:336-342)
+        edge = jnp.zeros(coef0.shape[-1], dtype=bool)
+        edge = edge.at[jnp.array([0, 1, -2, -1])].set(True)
+        coef0 = jnp.where(edge, acell, coef0)
+        coef1 = jnp.where(edge, 0.0, coef1)
+        coef2 = jnp.where(edge, 0.0, coef2)
     return jnp.stack([coef0, coef1, coef2], axis=-2)  # [..., 3, nlev]
 
 
@@ -129,7 +144,7 @@ def _make_sel(b_up, b_dn):
     return sel
 
 
-def remap_q_ppm(qdp, dp1, dp2):
+def remap_q_ppm(qdp, dp1, dp2, alg: int = 0):
     """Remap tracer mass qdp from layer grid dp1 to layer grid dp2.
 
     TPU fast path: exploits the property (relied on by the reference too,
@@ -177,7 +192,7 @@ def remap_q_ppm(qdp, dp1, dp2):
         [ao[..., 1:2], ao[..., 0:1], ao, ao[..., -1:], ao[..., -2:-1]],
         axis=-1)
     dpo_ext_q = jnp.broadcast_to(dpo_ext[..., None, :], ao_ext.shape)
-    coefs = compute_ppm_coefs(ao_ext, dpo_ext_q)        # [..., Q, 3, nlev]
+    coefs = compute_ppm_coefs(ao_ext, dpo_ext_q, alg)   # [..., Q, 3, nlev]
 
     selq = _make_sel(b_up[..., None, :], b_dn[..., None, :])
     masso_kk = selq(masso[..., :-1])
@@ -194,7 +209,7 @@ def remap_q_ppm(qdp, dp1, dp2):
                     prepend=jnp.zeros_like(massn[..., :1]))
 
 
-def remap_q_ppm_general(qdp, dp1, dp2):
+def remap_q_ppm_general(qdp, dp1, dp2, alg: int = 0):
     """Search-based cell location (handles deformation of many cells);
     reference/testing path."""
     nlev = dp1.shape[-1]
@@ -233,7 +248,7 @@ def remap_q_ppm_general(qdp, dp1, dp2):
     dpo_ext_q = dpo_ext[..., None, :]
 
     coefs = compute_ppm_coefs(ao_ext, jnp.broadcast_to(
-        dpo_ext_q, ao_ext.shape))                        # [..., Q, 3, nlev]
+        dpo_ext_q, ao_ext.shape), alg)                   # [..., Q, 3, nlev]
 
     kk0q = jnp.broadcast_to(kk0[..., None, :], ao.shape)
     coefs_kk = jnp.stack(
