@@ -120,3 +120,30 @@ def test_laplacian_of_constant_is_zero_after_dss(G, T):
     lap = so.laplace_sphere_wk(f, m['deriv'], m['Dinv'], m['spheremp'])
     assembled = dss_sum(lap, T) * m['rspheremp']
     assert np.abs(np.asarray(assembled)).max() < 1e-18 * REARTH
+
+
+def test_dss_segsum_matches_gather():
+    """segsum assembly == partner-gather assembly (up to f64 roundoff) and
+    the T-layout variant matches the standard layout exactly."""
+    import jax.numpy as jnp
+    from transport_se_tpu.grid.cubesphere import build_grid
+    from transport_se_tpu.ops.dss import DssTables
+
+    g = build_grid(3)
+    E = g.nelem
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-1, 1, (E, 5, 4, 4)))
+
+    tg = DssTables.from_grid(g, mode="gather")
+    ts = DssTables.from_grid(g, mode="segsum")
+    a = np.asarray(tg.dss_sum(x))
+    b = np.asarray(ts.dss_sum(x))
+    np.testing.assert_allclose(a, b, rtol=1e-14, atol=1e-15)
+
+    xt = jnp.moveaxis(x.reshape(E, 5, 16), -1, 1)    # [E, 16, 5]
+    at = np.asarray(tg.dss_sum_t(xt))
+    bt = np.asarray(ts.dss_sum_t(xt))
+    want_t = np.moveaxis(a.reshape(E, 5, 16), -1, 1)
+    np.testing.assert_array_equal(at, np.asarray(
+        jnp.moveaxis(jnp.asarray(a).reshape(E, 5, 16), -1, 1)))
+    np.testing.assert_allclose(bt, want_t, rtol=1e-14, atol=1e-15)

@@ -48,6 +48,10 @@ class Config:
     dtype: str = "f64"            # f64 (verification) | f32 (TPU perf)
     use_pallas: bool = False      # Pallas TPU kernels for the hot ops
                                   # (limiter); CPU/interpret fallback off
+    pallas_eb: int = 4            # elements per fused-kernel invocation
+    dss_mode: str = "gather"      # gather (BFB partner order) | segsum
+                                  # (faster scatter-add, roundoff-level
+                                  #  reassociation; perf configs)
 
     # diagnostics
     statefreq: int = 20
@@ -115,5 +119,6 @@ def perf_config(ne: int, **kw) -> Config:
     """35-tracer throughput configs (test/run_ne*_perf.sh, README:160-192)."""
     tstep = {8: 1200.0, 30: 300.0, 120: 75.0}[ne]
     nu = {8: 6e16, 30: 1e15, 120: 1e13}[ne]
+    kw.setdefault("dss_mode", "segsum")
     return Config(ne=ne, test_case="dcmip1-1", tstep=tstep, qsize=35,
                   nu_q=nu, disable_diagnostics=True, **kw)

@@ -101,7 +101,8 @@ def build_model(cfg: Config, grid: Optional[Grid] = None) -> Model:
     a = lambda x: jnp.asarray(x, dtype=dt)
     etai = hv.etai
     return Model(
-        cfg=cfg, grid=grid, hv=hv, tables=DssTables.from_grid(grid),
+        cfg=cfg, grid=grid, hv=hv,
+        tables=DssTables.from_grid(grid, mode=cfg.dss_mode),
         lon=a(grid.lon), lat=a(grid.lat), deriv=a(grid.deriv),
         D=a(grid.D), Dinv=a(grid.Dinv), metdet=a(grid.metdet),
         rmetdet=a(grid.rmetdet), spheremp=a(grid.spheremp),
@@ -176,21 +177,6 @@ def euler_step(m: Model, Qdp_n0, qmin, qmax, divdp, divdp_proj, vn0,
                          * m.dp0ref[None, None, :, None, None] * lap2
                          / m.spheremp[:, None, None, :, :])
 
-    if cfg.use_pallas and cfg.limiter_option == 8:
-        # fused advection RHS + limiter kernel: VMEM-resident per element
-        # (the cuda_mod.F90:767-928 fusion, TPU-style)
-        from ..ops.pallas_euler import fused_advect_limit
-        arrays = dict(Dinv=m.Dinv, metdet=m.metdet, rmetdet=m.rmetdet,
-                      spheremp=m.spheremp, deriv=m.grid.deriv)
-        dpb = jnp.broadcast_to(dp, divdp.shape)
-        out_w, qmin, qmax = fused_advect_limit(
-            Qdp_n0, vn0, dpb, divdp, qmin, qmax, arrays, float(dt),
-            rhs_viss=rhs_viss, bih=Qtens_bih)
-        Qdp_np1 = m.tables.dss_sum(out_w) \
-            * m.rspheremp[:, None, None, :, :]
-        dssvar_out = _dss_scale(m, dssvar) if dssvar is not None else None
-        return Qdp_np1, qmin, qmax, dssvar_out
-
     # advection velocity from the mean flux (euler_step :845-852)
     Vstar = vn0 / dp[:, :, None]                      # [E,k,2,n,n]
     gradQ = Vstar[:, None] * Qdp_n0[:, :, :, None]    # [E,q,k,2,n,n]
@@ -220,8 +206,122 @@ def euler_step(m: Model, Qdp_n0, qmin, qmax, divdp, divdp_proj, vn0,
 
 
 # ---------------------------------------------------------------------------
-# one tracer step (3-stage RK-SSP)
+# T-layout pipeline (use_pallas): point axis in sublanes, (q,k) in lanes.
+# The whole subcycle runs in [E, 16, q*k] so nothing relayouts between the
+# Pallas kernels, the DSS, and the PPM remap (whose column axis k is the
+# lane minor in this layout).
 # ---------------------------------------------------------------------------
+
+def _tp(x, E, inner):
+    """[E, ..., 4, 4] with `inner` batch -> [E, 16, inner]."""
+    return jnp.moveaxis(x.reshape(E, inner, 16), -1, 1)
+
+
+def _tp_back(x_t, shape):
+    """[E, 16, inner] -> original [E, ..., 4, 4] shape."""
+    return jnp.moveaxis(x_t, 1, -1).reshape(shape)
+
+
+def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
+                 dt, rhs_multiplier: int):
+    """euler_step in T layout.  Qt [E,16,qk]; divdp/uv [E,16,k];
+    qmin/qmax [E,1,qk].  Returns (Qt', qmin', qmax')."""
+    cfg = m.cfg
+    E, _, qk = Qt.shape
+    nq = cfg.qsize
+    nk = cfg.nlev
+    arrays = dict(Dinv=m.Dinv, metdet=m.metdet, rmetdet=m.rmetdet,
+                  spheremp=m.spheremp, deriv=m.grid.deriv)
+
+    dp0_t = jnp.broadcast_to(m.dp0col[None, None, :], (E, 16, nk))
+    dp_t = dp0_t - rhs_multiplier * dt * divdp_proj_t        # [E,16,k]
+    dp_rep = jnp.broadcast_to(dp_t[:, :, None, :],
+                              (E, 16, nq, nk)).reshape(E, 16, qk)
+    Q_t = Qt / dp_rep
+
+    qmin_l = Q_t.min(axis=1)[:, None]                        # [E,1,qk]
+    qmax_l = Q_t.max(axis=1)[:, None]
+
+    def nbr_minmax(a_min, a_max):
+        gmin, gmax = m.tables.neighbor_minmax(
+            a_min.reshape(E, nq, nk), a_max.reshape(E, nq, nk))
+        return gmin.reshape(E, 1, qk), gmax.reshape(E, 1, qk)
+
+    rhs_viss = 0
+    bih_t = None
+    if rhs_multiplier == 0:
+        qmin, qmax = nbr_minmax(qmin_l, qmax_l)
+    elif rhs_multiplier == 1:
+        qmin = jnp.minimum(qmin, qmin_l)
+        qmax = jnp.maximum(qmax, qmax_l)
+    else:
+        rhs_viss = 3
+        qmin, qmax = nbr_minmax(qmin_l, qmax_l)
+        if cfg.nu_q > 0:
+            from ..ops.pallas_euler import laplace_wk_t
+            rspheremp_t = m.rspheremp.reshape(E, 16, 1)
+            spheremp_t = m.spheremp.reshape(E, 16, 1)
+            lap1 = m.tables.dss_sum_t(laplace_wk_t(Q_t, arrays)) \
+                * rspheremp_t
+            lap2 = laplace_wk_t(lap1, arrays)
+            # dp0ref broadcast matching the (q-major, k-minor) lane order
+            dp0_rep = jnp.broadcast_to(
+                m.dp0ref[None, None, None, :],
+                (E, 1, nq, nk)).reshape(E, 1, qk)
+            bih_t = (-rhs_viss * dt * cfg.nu_q * dp0_rep * lap2
+                     / spheremp_t)
+
+    from ..ops.pallas_euler import fused_advect_limit
+    out_t, qmin, qmax = fused_advect_limit(
+        Qt, uv_t, dp_t, divdp_t, qmin, qmax, arrays, float(dt),
+        rhs_viss=rhs_viss, bih=bih_t, transposed=True, nq=nq,
+        eb=cfg.pallas_eb)
+    Qt_new = m.tables.dss_sum_t(out_t) * m.rspheremp.reshape(E, 16, 1)
+    return Qt_new, qmin, qmax
+
+
+def advect_rk2_t(m: Model, Qt, vn0, dt_q):
+    """T-layout Prim_Advec_Tracers_remap_rk2 (perf path; no piggyback
+    diagnostics).  Qt [E,16,qk]; vn0 [E,k,2,n,n] standard (it is small).
+    Returns (Qt', divdp_proj_t)."""
+    E = Qt.shape[0]
+    nk = m.cfg.nlev
+    divdp = so.divergence_sphere(vn0, m.deriv, m.Dinv, m.metdet,
+                                 m.rmetdet)
+    divdp_t = _tp(divdp, E, nk)
+    u_t = _tp(vn0[:, :, 0], E, nk)
+    v_t = _tp(vn0[:, :, 1], E, nk)
+    # divdp_proj = DSS-projected divdp (stage 0 piggyback in the reference;
+    # here done directly in T layout)
+    divdp_proj_t = m.tables.dss_sum_t(divdp_t * m.spheremp.reshape(E, 16, 1)) \
+        * m.rspheremp.reshape(E, 16, 1)
+
+    dt2 = dt_q / 2.0
+    zmin = jnp.zeros((E, 1, Qt.shape[2]), Qt.dtype)
+    Qt1, qmin, qmax = euler_step_t(m, Qt, zmin, zmin, divdp_t,
+                                   divdp_proj_t, (u_t, v_t), dt2, 0)
+    Qt2, qmin, qmax = euler_step_t(m, Qt1, qmin, qmax, divdp_t,
+                                   divdp_proj_t, (u_t, v_t), dt2, 1)
+    Qt3, qmin, qmax = euler_step_t(m, Qt2, qmin, qmax, divdp_t,
+                                   divdp_proj_t, (u_t, v_t), dt2, 2)
+    return (Qt + 2.0 * Qt3) / 3.0, divdp_proj_t
+
+
+def vertical_remap_t(m: Model, Qt, divdp_proj_t, dt_remap):
+    """T-layout vertical remap: columns are (E,16) x (q,k) with k lane-minor
+    — the PPM kernel runs with no transposes at all."""
+    E, _, qk = Qt.shape
+    nq, nk = m.cfg.qsize, m.cfg.nlev
+    dp_star = m.dp0col[None, None, :] - dt_remap * divdp_proj_t  # [E,16,k]
+    ps_v = m.hyai[0] * P0 + dp_star.sum(axis=2)                  # [E,16]
+    dp_ref = ((m.hyai[1:] - m.hyai[:-1])[None, None, :] * P0
+              + (m.hybi[1:] - m.hybi[:-1])[None, None, :]
+              * ps_v[..., None])
+    min_dp = m.tables.global_min(dp_star.min())
+    Qcol = Qt.reshape(E, 16, nq, nk)
+    Qnew = remap_q_ppm(Qcol, dp_star, dp_ref,
+                       alg=m.cfg.vert_remap_q_alg)
+    return (Qnew.reshape(E, 16, qk), ps_v.reshape(E, 4, 4), min_dp)
 
 def advect_rk2(m: Model, Qdp, vn0, dt_q, eta_dot=None, omega=None):
     """Prim_Advec_Tracers_remap_rk2 (:579-640).
@@ -294,6 +394,26 @@ def make_subcycle_fn(m: Model, diagnostics: bool = False):
     dt = float(cfg.tstep)
     dt_q = float(cfg.dt_tracer)
     dt_remap = float(cfg.dt_remap)
+
+    if cfg.use_pallas and cfg.limiter_option == 8 and not diagnostics:
+        # T-layout Pallas pipeline: one relayout in, one out per subcycle
+        def step_t(Qdp, nstep):
+            E = Qdp.shape[0]
+            qk = cfg.qsize * cfg.nlev
+            Qt = _tp(Qdp, E, qk)
+            divdp_proj_t = None
+            for _ in range(cfg.rsplit):
+                t_wind = jnp.maximum(nstep - 1, 0).astype(m.lon.dtype) * dt
+                v = dcmip.winds(cfg.test_case, m.lon, m.lat, m.etam,
+                                t_wind)
+                vn0 = v * m.dp0col[None, :, None, None, None]
+                Qt, divdp_proj_t = advect_rk2_t(m, Qt, vn0, dt_q)
+                nstep = nstep + 1
+            Qt, ps_v, min_dp = vertical_remap_t(m, Qt, divdp_proj_t,
+                                                dt_remap)
+            return _tp_back(Qt, Qdp.shape), ps_v, nstep, min_dp
+
+        return step_t
 
     def step(Qdp, nstep):
         divdp_proj = None

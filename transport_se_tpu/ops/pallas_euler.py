@@ -18,12 +18,13 @@ XLA pipeline needs ~10 HBM round trips of the [E,q,k,16] field for the same
 stage; this kernel needs 2 (read Qdp, write out).
 
 Layouts: the grid is the element axis.  Per element, tracer x level (q*k)
-lies in lanes and the 16 GLL points in sublanes; blocks stream in the
-natural [qk, 16] row layout and are transposed in VMEM.  The spectral
-derivative acts on the point axis as two constant 16x16 matrices
-(DX = d/dx ⊗ I, DY = I ⊗ d/dy), i.e. batched [16,16]x[16,qk] matmuls.
-Per-element metric factors ([16] vectors) broadcast along lanes; per-level
-fields ([k,16]) broadcast over tracers with an in-VMEM tile repeat.
+lies in lanes and the 16 GLL points in sublanes (the T layout; see
+model/core.py euler_step_t).  The spectral derivative acts on the point
+axis as 4-term weighted sublane rolls on the VPU (see the roll-coefficient
+comment below — a [16,16] matmul would run the MXU at ~1.5% utilization
+and dominated the kernel).  Per-element metric factors ([16] vectors)
+broadcast along lanes; per-level fields ([16,k]) broadcast over tracers
+with an in-VMEM tile repeat.
 """
 
 from __future__ import annotations
@@ -43,82 +44,133 @@ MAX_ITER = 15
 N2 = 16
 
 
-def derivative_matrices(deriv: np.ndarray):
-    """DX, DY [16,16] acting on the flattened (i*4+j) point axis.
-
-    DX[(l,j),(i,j)] = deriv[l,i]; DY[(i,l),(i,j)] = deriv[l,j]
-    (the dense Dvv contractions of derivative_mod.F90:2364-2414).
-    """
-    n = deriv.shape[0]
-    DX = np.zeros((n * n, n * n))
-    DY = np.zeros((n * n, n * n))
-    for l in range(n):
-        for i in range(n):
-            for j in range(n):
-                DX[l * n + j, i * n + j] = deriv[l, i]
-                DY[i * n + l, i * n + j] = deriv[l, j]
-    return DX, DY
-
-
 def _repeat_lanes(x, q):
-    """[16, k] -> [16, q*k] tiling along lanes (tracer broadcast)."""
+    """[..., 16, k] -> [..., 16, q*k] tiling along lanes (tracer
+    broadcast)."""
     if q == 1:
         return x
-    return pltpu.repeat(x, q, axis=1)
+    return pltpu.repeat(x, q, axis=x.ndim - 1)
+
+
+# ---------------------------------------------------------------------------
+# Point-axis spectral derivatives as sublane rolls (VPU).
+#
+# A [16,16] x [16,L] matmul runs the MXU at 16x16/128x128 ~ 1.5%
+# utilization — it dominated the kernel.  Each derivative is really a
+# 4-term weighted sum along one index of the (i,j) point grid, which maps
+# to 4 cyclic sublane shifts with per-row constant coefficients:
+#   d/dx:  out[(l,j)] = sum_d  deriv[l,(l+d)%4] * X[((l+d)%4, j)]
+#          X[((l+d)%4, j)] = roll(X, -4d) along sublanes
+#   d/dy:  out[(i,l)] = sum_d  deriv[l,(l+d)%4] * X[(i, (l+d)%4)]
+#          intra-group-of-4 cyclic shift = two rolls + a row select
+# The transposed contractions (weak-form divergence) use the same rolls
+# with transposed coefficient vectors.
+# ---------------------------------------------------------------------------
+
+def _roll_coeffs(deriv: np.ndarray, transpose: bool):
+    """Coefficient matrices [16, 4] (column d = roll distance) for d/dx
+    and d/dy.  Passed to the kernels as inputs (Pallas forbids captured
+    array constants)."""
+    n = deriv.shape[0]
+    cx = np.zeros((n * n, n))
+    cy = np.zeros((n * n, n))
+    for d in range(n):
+        for l in range(n):
+            src = (l + d) % n
+            w = deriv[src, l] if transpose else deriv[l, src]
+            for j in range(n):
+                cx[l * n + j, d] = w
+                cy[j * n + l, d] = w
+    return cx, cy
+
+
+def _ddy_mask_mat():
+    """[16, 4] mask, column d: 1.0 where l < 4-d (no group wrap)."""
+    m = np.zeros((16, 4))
+    for d in range(4):
+        for i in range(4):
+            for l in range(4):
+                m[i * 4 + l, d] = 1.0 if l < 4 - d else 0.0
+    return m
+
+
+def _ddx_rolls(X, cx):
+    """Contract the i-index (stride-4 sublane groups): 4 rolls.
+    X: [..., 16, L]; cx: [16, 4] coefficient ref value."""
+    ax = X.ndim - 2
+    out = cx[:, 0:1] * X
+    for d in range(1, 4):
+        out = out + cx[:, d:d + 1] * pltpu.roll(X, (16 - 4 * d) % 16,
+                                                axis=ax)
+    return out
+
+
+def _ddy_rolls(X, cy, masks):
+    """Contract the j-index (within sublane groups of 4): rolls+selects.
+    X: [..., 16, L]; cy, masks: [16, 4]."""
+    ax = X.ndim - 2
+    out = cy[:, 0:1] * X
+    for d in range(1, 4):
+        a = pltpu.roll(X, (16 - d) % 16, axis=ax)       # X[p+d]
+        b = pltpu.roll(X, (16 - d + 4) % 16, axis=ax)   # X[p+d-4]
+        md = masks[:, d:d + 1]
+        out = out + cy[:, d:d + 1] * (md * a + (1.0 - md) * b)
+    return out
 
 
 def _euler_kernel(nq, dt, rhs_viss, has_bih,
                   qdp_ref, u_ref, v_ref, dp_ref, divdp_ref,
                   d00_ref, d01_ref, d10_ref, d11_ref,
                   metdet_ref, rmetdet_ref, spheremp_ref,
-                  qmin_ref, qmax_ref, dx_ref, dy_ref, bih_ref,
+                  qmin_ref, qmax_ref, cx_ref, cy_ref, mask_ref, bih_ref,
                   out_ref, qmin_out_ref, qmax_out_ref):
     f = qdp_ref.dtype
     one = jnp.asarray(1.0, f)
+    cxj = cx_ref[:]
+    cyj = cy_ref[:]
+    masks = mask_ref[:]
 
-    qdp = qdp_ref[0]                   # [16, qk] (point-major layout)
-    dp = _repeat_lanes(dp_ref[0], nq)            # [16, qk]
-    divdp = _repeat_lanes(divdp_ref[0], nq)
-    u = _repeat_lanes(u_ref[0], nq) / dp         # Vstar zonal
-    v = _repeat_lanes(v_ref[0], nq) / dp         # Vstar meridional
+    qdp = qdp_ref[...]                 # [eb, 16, qk] (point-major layout)
+    dp = _repeat_lanes(dp_ref[...], nq)          # [eb, 16, qk]
+    divdp = _repeat_lanes(divdp_ref[...], nq)
+    u = _repeat_lanes(u_ref[...], nq) / dp       # Vstar zonal
+    v = _repeat_lanes(v_ref[...], nq) / dp       # Vstar meridional
 
-    d00 = d00_ref[0].T                 # [16, 1]
-    d01 = d01_ref[0].T
-    d10 = d10_ref[0].T
-    d11 = d11_ref[0].T
-    metdet = metdet_ref[0].T
-    rmetdet = rmetdet_ref[0].T
-    spheremp = spheremp_ref[0].T
+    sw = lambda r: jnp.swapaxes(r[...], -1, -2)  # [eb,1,16] -> [eb,16,1]
+    d00 = sw(d00_ref)
+    d01 = sw(d01_ref)
+    d10 = sw(d10_ref)
+    d11 = sw(d11_ref)
+    metdet = sw(metdet_ref)
+    rmetdet = sw(rmetdet_ref)
+    spheremp = sw(spheremp_ref)
 
     gu = u * qdp                       # gradQ components
     gv = v * qdp
     c1 = (d00 * gu + d01 * gv) * metdet
     c2 = (d10 * gu + d11 * gv) * metdet
-    DX = dx_ref[:]
-    DY = dy_ref[:]
-    div = (jnp.dot(DX, c1, preferred_element_type=f)
-           + jnp.dot(DY, c2, preferred_element_type=f)) \
+    div = (_ddx_rolls(c1, cxj) + _ddy_rolls(c2, cyj, masks)) \
         * rmetdet * jnp.asarray(RREARTH, f)
 
     qtens = qdp - jnp.asarray(dt, f) * div
     if has_bih:
-        qtens = qtens + bih_ref[0]
+        qtens = qtens + bih_ref[...]
 
     # ---- limiter 8 on Q = qtens/dp_star (prim_advection_mod.F90:976) ----
     dp_star = dp - jnp.asarray(dt, f) * divdp
-    c = spheremp * dp_star             # [16, qk]
+    c = spheremp * dp_star             # [eb, 16, qk]
     x = qtens / dp_star
-    minp = qmin_ref[0]                 # [1, qk]
-    maxp = qmax_ref[0]
+    minp = qmin_ref[...]               # [eb, 1, qk]
+    maxp = qmax_ref[...]
 
-    sumc = jnp.sum(c, axis=0, keepdims=True)
-    mass = jnp.sum(c * x, axis=0, keepdims=True)
+    sumc = jnp.sum(c, axis=-2, keepdims=True)
+    mass = jnp.sum(c * x, axis=-2, keepdims=True)
     validf = (sumc > 0).astype(f)
     safe_sumc = jnp.where(sumc > 0, sumc, one)
     minp = jnp.where(mass < minp * safe_sumc, mass / safe_sumc, minp)
     maxp = jnp.where(mass > maxp * safe_sumc, mass / safe_sumc, maxp)
-    qmin_out_ref[0] = minp
-    qmax_out_ref[0] = maxp
+    qmin_out_ref[...] = minp
+    qmax_out_ref[...] = maxp
     tol = TOL_LIMITER * jnp.abs(mass)
 
     def body(state):
@@ -127,13 +179,13 @@ def _euler_kernel(nq, dt, rhs_viss, has_bih,
         under = x < minp
         addmass = jnp.sum(jnp.where(over, (x - maxp) * c, 0.0)
                           + jnp.where(under, (x - minp) * c, 0.0),
-                          axis=0, keepdims=True)
+                          axis=-2, keepdims=True)
         xcl = jnp.clip(x, minp, maxp)
         conv = (jnp.abs(addmass) <= tol).astype(f)
         pos = (addmass > 0).astype(f)
         free = (pos * (xcl < maxp).astype(f)
                 + (one - pos) * (xcl > minp).astype(f))
-        wsum = jnp.sum(free * c, axis=0, keepdims=True)
+        wsum = jnp.sum(free * c, axis=-2, keepdims=True)
         add = jnp.where(wsum > 0,
                         addmass / jnp.where(wsum > 0, wsum, one), 0.0)
         xred = xcl + free * add
@@ -147,14 +199,83 @@ def _euler_kernel(nq, dt, rhs_viss, has_bih,
 
     _, x, _ = jax.lax.while_loop(cond, body, (0, x, one - validf))
     limited = validf * (x * dp_star) + (one - validf) * qtens
-    out_ref[0] = spheremp * limited
+    out_ref[...] = spheremp * limited
+
+
+def _laplace_kernel(s_ref, d00_ref, d01_ref, d10_ref, d11_ref,
+                    spheremp_ref, cx_ref, cy_ref, cxt_ref, cyt_ref,
+                    mask_ref, out_ref):
+    """Weak Laplacian in the [16, qk] T layout: one VMEM round trip.
+
+    laplace_sphere_wk = divergence_sphere_wk(gradient_sphere(s))
+    (derivative_mod.F90:2418; sphere_ops.py laplace_sphere_wk):
+      v1 = ddx s; v2 = ddy s                     (covariant derivative)
+      g1 = Dinv00 v1 + Dinv10 v2; g2 = Dinv01 v1 + Dinv11 v2   (grad)
+      c1 = Dinv00 g1 + Dinv01 g2; c2 = Dinv10 g1 + Dinv11 g2   (contra)
+      out = -rrearth^2 (ddx^T (sp c1) + ddy^T (sp c2))
+    """
+    f = s_ref.dtype
+    s = s_ref[0]                       # [16, qk]
+    d00 = d00_ref[0].T                 # [16, 1]
+    d01 = d01_ref[0].T
+    d10 = d10_ref[0].T
+    d11 = d11_ref[0].T
+    spheremp = spheremp_ref[0].T
+    cxj = cx_ref[:]
+    cyj = cy_ref[:]
+    cxtj = cxt_ref[:]
+    cytj = cyt_ref[:]
+    masks = mask_ref[:]
+
+    v1 = _ddx_rolls(s, cxj)
+    v2 = _ddy_rolls(s, cyj, masks)
+    g1 = d00 * v1 + d10 * v2
+    g2 = d01 * v1 + d11 * v2
+    c1 = (d00 * g1 + d01 * g2) * spheremp
+    c2 = (d10 * g1 + d11 * g2) * spheremp
+    t = _ddx_rolls(c1, cxtj) + _ddy_rolls(c2, cytj, masks)
+    out_ref[0] = -jnp.asarray(RREARTH * RREARTH, f) * t
+
+
+def laplace_wk_t(s_t, model_arrays, interpret=None):
+    """Weak Laplacian on T-layout fields s_t [E, 16, B] (B = q*k lanes)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    E, _, B = s_t.shape
+    f = s_t.dtype
+    deriv = np.asarray(model_arrays["deriv"])
+    cx, cy = _roll_coeffs(deriv, transpose=False)
+    cxt, cyt = _roll_coeffs(deriv, transpose=True)
+    Dinv = model_arrays["Dinv"]
+    flat = lambda a: a.reshape(E, 1, N2)
+    be = lambda s2: pl.BlockSpec((1, N2, s2), lambda e: (e, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    bmet = pl.BlockSpec((1, 1, N2), lambda e: (e, 0, 0),
+                        memory_space=pltpu.VMEM)
+    bcoef = lambda w: pl.BlockSpec((N2, w), lambda e: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _laplace_kernel,
+        grid=(E,),
+        in_specs=[be(B), bmet, bmet, bmet, bmet, bmet,
+                  bcoef(4), bcoef(4), bcoef(4), bcoef(4), bcoef(4)],
+        out_specs=be(B),
+        out_shape=jax.ShapeDtypeStruct((E, N2, B), f),
+        interpret=interpret,
+    )(s_t, flat(Dinv[..., 0, 0]), flat(Dinv[..., 0, 1]),
+      flat(Dinv[..., 1, 0]), flat(Dinv[..., 1, 1]),
+      flat(model_arrays["spheremp"]),
+      jnp.asarray(cx, f), jnp.asarray(cy, f),
+      jnp.asarray(cxt, f), jnp.asarray(cyt, f),
+      jnp.asarray(_ddy_mask_mat(), f))
 
 
 def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
-                       dt, rhs_viss=0, bih=None, interpret=None):
+                       dt, rhs_viss=0, bih=None, interpret=None,
+                       transposed=False, nq=None, eb=1):
     """Fused advection RHS + limiter over all elements.
 
-    Args:
+    Args (standard layout, transposed=False):
       Qdp:    [E, q, k, 4, 4] tracer mass at stage start
       vn0:    [E, k, 2, 4, 4] mean-flux velocity*dp
       dp:     [E, k, 4, 4]    stage layer thickness
@@ -164,23 +285,26 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
       dt: stage timestep (static float)
       bih: optional [E, q, k, 4, 4] hyperviscosity tendency (stage 2)
 
-    Returns (spheremp*Qtens_limited [E,q,k,4,4], qmin', qmax') — feed the
-    first output to dss_sum then rspheremp (the pack/exchange/unpack).
+    With transposed=True the field operands are already in kernel layout
+    ([E,16,qk] / vn0 as (u,v) tuple of [E,16,k] / dp,divdp [E,16,k] /
+    bounds [E,1,qk]) and the output stays in it — the T-layout pipeline
+    (euler_step_t) avoids all per-stage relayouts.  `nq` is required then.
+
+    Returns (spheremp*Qtens_limited, qmin', qmax') — feed the first output
+    to dss_sum then rspheremp (the pack/exchange/unpack).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    E, nq, nk = Qdp.shape[:3]
-    qk = nq * nk
-    f = Qdp.dtype
-    if "DX" in model_arrays:
-        DX = jnp.asarray(model_arrays["DX"], f)
-        DY = jnp.asarray(model_arrays["DY"], f)
+    if transposed:
+        E = Qdp.shape[0]
+        qk = Qdp.shape[2]
+        nk = qk // nq
     else:
-        # deriv must be a concrete (host) array here — precompute DX/DY
-        # before tracing when calling under jit
-        DXn, DYn = derivative_matrices(np.asarray(model_arrays["deriv"]))
-        DX = jnp.asarray(DXn, f)
-        DY = jnp.asarray(DYn, f)
+        E, nq, nk = Qdp.shape[:3]
+        qk = nq * nk
+    f = Qdp.dtype
+    cx, cy = _roll_coeffs(np.asarray(model_arrays["deriv"]),
+                          transpose=False)
 
     Dinv = model_arrays["Dinv"]        # [E, 4, 4, 2, 2]
     flat = lambda a: a.reshape(E, 1, N2)
@@ -195,16 +319,25 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
     # operand layout: point axis in sublanes, (q*k) in lanes — keeps the
     # minor HBM dim a near-multiple of 128 (a [.., qk, 16] layout would be
     # lane-padded 16 -> 128, an 8x memory and bandwidth blow-up)
-    tp = lambda a, inner: jnp.moveaxis(a.reshape(E, inner, N2), -1, 1)
-    qdp_r = tp(Qdp, qk)                # [E, 16, qk]
-    u_r = tp(vn0[:, :, 0], nk)         # [E, 16, k]
-    v_r = tp(vn0[:, :, 1], nk)
-    dp_r = tp(dp, nk)
-    divdp_r = tp(divdp, nk)
-    qmin_r = qmin.reshape(E, 1, qk)
-    qmax_r = qmax.reshape(E, 1, qk)
     has_bih = bih is not None
-    bih_r = tp(bih, qk) if has_bih else jnp.zeros((E, N2, 1), f)
+    if transposed:
+        qdp_r = Qdp
+        u_r, v_r = vn0
+        dp_r = dp
+        divdp_r = divdp
+        qmin_r = qmin
+        qmax_r = qmax
+        bih_r = bih if has_bih else jnp.zeros((E, N2, 1), f)
+    else:
+        tp = lambda a, inner: jnp.moveaxis(a.reshape(E, inner, N2), -1, 1)
+        qdp_r = tp(Qdp, qk)            # [E, 16, qk]
+        u_r = tp(vn0[:, :, 0], nk)     # [E, 16, k]
+        v_r = tp(vn0[:, :, 1], nk)
+        dp_r = tp(dp, nk)
+        divdp_r = tp(divdp, nk)
+        qmin_r = qmin.reshape(E, 1, qk)
+        qmax_r = qmax.reshape(E, 1, qk)
+        bih_r = tp(bih, qk) if has_bih else jnp.zeros((E, N2, 1), f)
 
     be = lambda s2: pl.BlockSpec((1, N2, s2), lambda e: (e, 0, 0),
                                  memory_space=pltpu.VMEM)
@@ -212,16 +345,16 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
                         memory_space=pltpu.VMEM)
     bmet = pl.BlockSpec((1, 1, N2), lambda e: (e, 0, 0),
                         memory_space=pltpu.VMEM)
-    bmat = pl.BlockSpec((N2, N2), lambda e: (0, 0),
-                        memory_space=pltpu.VMEM)
 
+    bcoef = lambda w: pl.BlockSpec((N2, w), lambda e: (0, 0),
+                                   memory_space=pltpu.VMEM)
     kernel = functools.partial(_euler_kernel, nq, dt, rhs_viss, has_bih)
     out, qmin_o, qmax_o = pl.pallas_call(
         kernel,
         grid=(E,),
         in_specs=[be(qk), be(nk), be(nk), be(nk), be(nk),
                   bmet, bmet, bmet, bmet, bmet, bmet, bmet,
-                  brow, brow, bmat, bmat,
+                  brow, brow, bcoef(4), bcoef(4), bcoef(4),
                   be(qk if has_bih else 1)],
         out_specs=(be(qk), brow, brow),
         out_shape=(jax.ShapeDtypeStruct((E, N2, qk), f),
@@ -229,7 +362,11 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
                    jax.ShapeDtypeStruct((E, 1, qk), f)),
         interpret=interpret,
     )(qdp_r, u_r, v_r, dp_r, divdp_r, d00, d01, d10, d11,
-      metdet, rmetdet, spheremp, qmin_r, qmax_r, DX, DY, bih_r)
+      metdet, rmetdet, spheremp, qmin_r, qmax_r,
+      jnp.asarray(cx, f), jnp.asarray(cy, f),
+      jnp.asarray(_ddy_mask_mat(), f), bih_r)
 
+    if transposed:
+        return out, qmin_o, qmax_o
     out = jnp.moveaxis(out, 1, -1).reshape(Qdp.shape)
     return (out, qmin_o.reshape(E, nq, nk), qmax_o.reshape(E, nq, nk))

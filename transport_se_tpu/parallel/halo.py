@@ -207,6 +207,19 @@ class ShardedDssTables:
         out = jnp.moveaxis(out, 1, 0)
         return out.reshape(x.shape)
 
+    def dss_sum_t(self, x_t):
+        """DSS on T-layout fields [eloc, 16, B] (point axis second) —
+        lets the Pallas/T pipeline (model/core.py euler_step_t) run
+        unchanged inside shard_map."""
+        xe = self.halo_extend(x_t)                            # [eloc+h,16,B]
+        E1 = xe.shape[0]
+        B = x_t.shape[-1]
+        xf = xe.reshape(E1 * 16, B)
+        own = xf[:self.eloc * 16]
+        partners = xf[self.part_idx]                          # [eloc*16,3,B]
+        contrib = jnp.where(self.part_mask[..., None], partners, 0)
+        return (own + contrib.sum(axis=1)).reshape(x_t.shape)
+
     def global_min(self, x):
         return jax.lax.pmin(x.min(), self.axis_name)
 
