@@ -68,6 +68,10 @@ class Config:
             raise NotImplementedError("limiter_option must be 0 or 8")
         if not self.prescribed_wind:
             raise NotImplementedError("only prescribed-wind transport")
+        if self.hypervis_subcycle_q != 1:
+            raise NotImplementedError(
+                "hypervis_subcycle_q != 1 (all shipped DCMIP configs use 1; "
+                "test/dcmip1-1/dcmip1-1.nl hypervis_subcycle=1)")
         if self.vert_remap_q_alg not in (0, 1, 2):
             raise NotImplementedError(
                 "vert_remap_q_alg must be 0/1 (mirrored-ghost PPM; in this "

@@ -120,6 +120,32 @@ def print_state(m, Qdp, ps_v, vn0=None):
     return "\n".join(lines)
 
 
+def flow_fields(m, nstep: int):
+    """History flow diagnostics at step `nstep`: winds, C0 vorticity and
+    divergence, omega, T (prim_movie_mod.F90:395+ compute_zeta_C0 etc.;
+    make_C0 from viscosity_mod.F90:445).  Under prescribed winds these are
+    analytic + assembled, not prognostic.  Returns a dict of host arrays.
+    """
+    import jax.numpy as jnp
+    from .constants import P0, T0
+    from .model import dcmip
+    from .ops import sphere_ops as so
+    from .ops.dss import dss_scale
+
+    cfg = m.cfg
+    t = max(nstep - 1, 0) * cfg.tstep
+    v = dcmip.winds(cfg.test_case, m.lon, m.lat, m.etam, t)  # [E,k,2,n,n]
+    zeta = so.vorticity_sphere(v, m.deriv, m.D, m.rmetdet)
+    div = so.divergence_sphere(v, m.deriv, m.Dinv, m.metdet, m.rmetdet)
+    zeta = dss_scale(zeta, m.spheremp, m.rspheremp, m.tables)
+    div = dss_scale(div, m.spheremp, m.rspheremp, m.tables)
+    omega = dcmip.eta_dot_dpdn(cfg.test_case, m.lon, m.lat, m.etam, t)
+    T = jnp.full(zeta.shape, T0, zeta.dtype)   # isothermal test atmosphere
+    return {"u": np.asarray(v[:, :, 0]), "v": np.asarray(v[:, :, 1]),
+            "zeta": np.asarray(zeta), "div": np.asarray(div),
+            "omega": np.asarray(omega), "T": np.asarray(T)}
+
+
 @dataclasses.dataclass
 class StateLog:
     """Accumulates printstate lines; verifies conservation over the run."""

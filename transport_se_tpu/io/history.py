@@ -116,6 +116,9 @@ class HistoryWriter:
         self._time.long_name = "Model elapsed time"
 
         self._vars = {}
+        units = {"geo": "m^2/s^2", "u": "meters/second",
+                 "v": "meters/second", "T": "degrees kelvin",
+                 "zeta": "1/s", "div": "1/s", "omega": "Pa/s"}
         for name in self._expand_tracers(cfg.qsize):
             if name in ("ps",):
                 v = f.createVariable(name, "d", ("time", "ncol"))
@@ -123,10 +126,8 @@ class HistoryWriter:
                 v.long_name = "surface pressure"
             else:
                 v = f.createVariable(name, "d", ("time", "lev", "ncol"))
-                if name == "geo":
-                    v.units = "m^2/s^2"
-                elif name in ("u", "v"):
-                    v.units = "meters/second"
+                if name in units:
+                    v.units = units[name]
             self._vars[name] = v
 
         # geopotential is time-independent under prescribed winds:
@@ -155,36 +156,42 @@ class HistoryWriter:
         interval = max(interval, 1)
         return nstep % interval < cfg.rsplit and nstep >= interval
 
+    # time-varying level fields supplied via `extras` (diagnostics.py
+    # `flow_fields`): u, v, zeta, div, omega, T
+    EXTRA_FIELDS = ("u", "v", "zeta", "div", "omega", "T")
+
+    def needs_extras(self) -> bool:
+        return any(n in self._vars for n in self.EXTRA_FIELDS)
+
     def write(self, model, nstep: int, Q: np.ndarray, ps: np.ndarray,
-              winds: Optional[np.ndarray] = None):
+              extras: Optional[dict] = None):
         """Append one time record.
 
         Q:  [E, qsize, nlev, np, np] mixing ratios (host numpy)
         ps: [E, np, np]
-        winds: optional [E, nlev, 2, np, np]
+        extras: optional {name: [E, nlev, np, np]} for EXTRA_FIELDS
         """
         m = model
         grid = m.grid
         i = self._itime
         self._time[i] = nstep * m.cfg.tstep / 86400.0
+
+        def put_lev(v, field):
+            w = np.moveaxis(np.asarray(field), 1, 0)
+            v[i] = unique_gather(grid, w.reshape(m.cfg.nlev, -1))
+
         for name, v in self._vars.items():
             if name == "ps":
                 v[i] = unique_gather(grid, np.asarray(ps).reshape(-1))
             elif name == "geo":
                 v[i] = np.broadcast_to(
                     self._geo_col[:, None], (m.cfg.nlev, grid.ngid))
-            elif name in ("u", "v"):
-                if winds is None:
-                    continue
-                comp = 0 if name == "u" else 1
-                w = np.asarray(winds)[:, :, comp]          # [E,k,n,n]
-                w = np.moveaxis(w, 1, 0).reshape(m.cfg.nlev, -1)
-                v[i] = unique_gather(grid, w)
+            elif name in self.EXTRA_FIELDS:
+                if extras is not None and name in extras:
+                    put_lev(v, extras[name][:, :m.cfg.nlev])
             else:  # tracer Q / Q<n>
                 qi = 0 if name == "Q" else int(name[1:]) - 1
-                q = np.asarray(Q)[:, qi]                   # [E,k,n,n]
-                q = np.moveaxis(q, 1, 0).reshape(m.cfg.nlev, -1)
-                v[i] = unique_gather(grid, q)
+                put_lev(v, np.asarray(Q)[:, qi])
         self._itime += 1
         self._f.flush()
 

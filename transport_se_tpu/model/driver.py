@@ -86,8 +86,12 @@ def run_simulation(cfg: Config, model: Optional[Model] = None,
     if history is not None and init_state is None:
         # initial record; on restart the t=0 record is in the original
         # run's history (and q_init/dp0col would be wrong mid-run anyway)
+        extras0 = None
+        if history.needs_extras():
+            from ..diagnostics import flow_fields
+            extras0 = flow_fields(m, 0)
         history.write(m, 0, q_init,
-                      np.full((m.grid.nelem, 4, 4), P0))
+                      np.full((m.grid.nelem, 4, 4), P0), extras=extras0)
 
     nstep = jnp.asarray(nstep0, jnp.int32)
     t0 = _time.perf_counter()
@@ -111,8 +115,12 @@ def run_simulation(cfg: Config, model: Optional[Model] = None,
                        cfg.tstep * cfg.statefreq, verbose)
         if history is not None and history.due(cur, cfg):
             dp_ref = reference_dp(m, ps_v)
+            extras = None
+            if history.needs_extras():
+                from ..diagnostics import flow_fields
+                extras = flow_fields(m, cur)
             history.write(m, cur, np.asarray(Qdp / dp_ref[:, None]),
-                          np.asarray(ps_v))
+                          np.asarray(ps_v), extras=extras)
         if (restart_writer is not None and restartfreq > 0
                 and cur % restartfreq < cfg.rsplit):
             restart_writer(m, cur, np.asarray(Qdp), np.asarray(ps_v))

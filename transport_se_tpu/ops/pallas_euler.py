@@ -174,30 +174,33 @@ def _euler_kernel(nq, dt, rhs_viss, has_bih,
     tol = TOL_LIMITER * jnp.abs(mass)
 
     def body(state):
-        it, x, done = state
+        # No separate `done` mask: a converged column has addmass == 0
+        # exactly (nothing outside bounds after its clip), so conv stays
+        # true and x_next == xcl == x — freezing is automatic.
+        it, x, _ = state
         over = x > maxp
         under = x < minp
         addmass = jnp.sum(jnp.where(over, (x - maxp) * c, 0.0)
                           + jnp.where(under, (x - minp) * c, 0.0),
                           axis=-2, keepdims=True)
         xcl = jnp.clip(x, minp, maxp)
-        conv = (jnp.abs(addmass) <= tol).astype(f)
+        conv = jnp.abs(addmass) <= tol
         pos = (addmass > 0).astype(f)
         free = (pos * (xcl < maxp).astype(f)
                 + (one - pos) * (xcl > minp).astype(f))
         wsum = jnp.sum(free * c, axis=-2, keepdims=True)
         add = jnp.where(wsum > 0,
                         addmass / jnp.where(wsum > 0, wsum, one), 0.0)
-        xred = xcl + free * add
-        x_new = conv * xcl + (one - conv) * xred
-        return it + 1, done * x + (one - done) * x_new, \
-            jnp.maximum(done, conv)
+        x_next = xcl + jnp.where(conv, 0.0, free * add)
+        # degenerate (sumc<=0) columns count as converged for the exit
+        # test — their values are discarded by the validity blend below
+        return it + 1, x_next, jnp.maximum(conv.astype(f), one - validf)
 
     def cond(state):
-        it, _, done = state
-        return (it < MAX_ITER) & (jnp.min(done) < 0.5)
+        it, _, convf = state
+        return (it < MAX_ITER) & (jnp.min(convf) < 0.5)
 
-    _, x, _ = jax.lax.while_loop(cond, body, (0, x, one - validf))
+    _, x, _ = jax.lax.while_loop(cond, body, (0, x, validf * 0.0))
     limited = validf * (x * dp_star) + (one - validf) * qtens
     out_ref[...] = spheremp * limited
 
