@@ -119,3 +119,41 @@ def test_alg2_no_bc_variant():
                                rtol=1e-12, atol=1e-14)
     # the variants genuinely differ at the boundary
     assert float(jnp.abs(out0 - out2).max()) > 0
+
+
+def test_fast_matches_general_2cell():
+    """The select fast path must handle interfaces displaced up to TWO
+    source cells (DCMIP 1-2's Hadley circulation reaches +-2 at
+    NE8/acme-72/dt_remap=1200 s; a 1-cell-only select silently corrupts
+    the remap and blows the run up — regression test)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from transport_se_tpu.ops.ppm import remap_q_ppm, remap_q_ppm_general
+
+    rng = np.random.default_rng(11)
+    nlev, Q, N = 40, 3, 50
+    dp1 = jnp.asarray(rng.uniform(0.5, 1.5, (N, nlev)))
+    pio = jnp.concatenate([jnp.zeros_like(dp1[..., :1]),
+                           jnp.cumsum(dp1, -1)], -1)
+    # prescribe a smooth displacement pattern d(k) in {-2..2}: interior
+    # target interface k sits inside source cell k + d(k)
+    k = np.arange(1, nlev)
+    d = np.round(2.0 * np.sin(2.0 * np.pi * k / nlev)).astype(int)
+    src = np.clip(k + d, 0, nlev - 1)
+    frac = 0.2 + 0.01 * k / nlev + 0.005 * np.arange(k.size) / k.size
+    pin_int = (np.asarray(pio)[:, src]
+               + (0.2 + 0.01 * np.arange(k.size)) / 1.0
+               * np.asarray(dp1)[:, src] * 0.5)
+    pin = np.concatenate([np.zeros((N, 1)), pin_int,
+                          np.asarray(pio)[:, -1:]], axis=-1)
+    assert (np.diff(pin, axis=-1) > 0).all()
+    dp2 = jnp.asarray(np.diff(pin, axis=-1))
+    assert int(np.abs(d).max()) == 2
+    qdp = jnp.asarray(rng.uniform(0.0, 1.0, (N, Q, nlev))) * dp1[:, None]
+
+    fast = remap_q_ppm(qdp, dp1, dp2)
+    gen = remap_q_ppm_general(qdp, dp1, dp2)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(gen),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(fast.sum(-1)),
+                               np.asarray(qdp.sum(-1)), rtol=1e-12)

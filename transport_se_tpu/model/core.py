@@ -319,8 +319,22 @@ def vertical_remap_t(m: Model, Qt, divdp_proj_t, dt_remap):
               * ps_v[..., None])
     min_dp = m.tables.global_min(dp_star.min())
     Qcol = Qt.reshape(E, 16, nq, nk)
-    Qnew = remap_q_ppm(Qcol, dp_star, dp_ref,
-                       alg=m.cfg.vert_remap_q_alg)
+    # chunk the element axis: the PPM working set (parabola coefficients +
+    # shift-selected copies) is ~6x the field size — unchunked it OOMs the
+    # perf configs
+    nc = next((c for c in (8, 4, 2) if E % c == 0), 1)
+    if nc > 1:
+        ec = E // nc
+        Qr = Qcol.reshape(nc, ec, 16, nq, nk)
+        d1r = dp_star.reshape(nc, ec, 16, nk)
+        d2r = dp_ref.reshape(nc, ec, 16, nk)
+        Qnew = jax.lax.map(
+            lambda a: remap_q_ppm(a[0], a[1], a[2],
+                                  alg=m.cfg.vert_remap_q_alg),
+            (Qr, d1r, d2r)).reshape(E, 16, nq, nk)
+    else:
+        Qnew = remap_q_ppm(Qcol, dp_star, dp_ref,
+                           alg=m.cfg.vert_remap_q_alg)
     return (Qnew.reshape(E, 16, qk), ps_v.reshape(E, 4, 4), min_dp)
 
 def advect_rk2(m: Model, Qdp, vn0, dt_q, eta_dot=None, omega=None):

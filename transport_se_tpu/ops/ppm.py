@@ -7,10 +7,11 @@ monotone reconstruction], :349 `integrate_parabola`).
 
 Semantics preserved:
 * mirrored ghost cells (gs=2) above and below the column (:146-149,192-195);
-* the new-interface cell search assumes the Lagrangian grid never deforms
-  past one cell, so `kk = max index with pio[kk] <= pin[k+1]` — here a
-  fixed-shape vectorized count instead of the reference's walking loop
-  (:159-173);
+* the new-interface cell search `kk = max index with pio[kk] <= pin[k+1]`
+  is the reference's walking loop (:159-173) turned into either a
+  fixed-shape vectorized count (general path) or a bounded shift-select
+  (fast path, deformation up to +-2 cells — DCMIP 1-2's Hadley cell
+  reaches +-2 at NE8/acme-72/dt_remap=1200 s);
 * PPM coefficients are normalized to xi in [-1/2, 1/2]; integration runs
   from the left interface (z1 = -0.5) to z2 (:169-172,206);
 * the top-of-column sentinel and forced-equal total mass (:142-144), which
@@ -125,34 +126,44 @@ def _integrate_parabola(coefs, x1, x2):
             + a2 * (x2 ** 3 - x1 ** 3) / 3.0)
 
 
-def _shift_left_clamp(a):
-    """a[..., j] -> a[..., j+1] with the last entry clamped."""
-    return jnp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
+def _shift_left_clamp(a, n=1):
+    """a[..., j] -> a[..., j+n] with the last entry clamped."""
+    return jnp.concatenate([a[..., n:]] + [a[..., -1:]] * n, axis=-1)
 
 
-def _shift_right_clamp(a):
-    """a[..., j] -> a[..., j-1] with the first entry clamped."""
-    return jnp.concatenate([a[..., :1], a[..., :-1]], axis=-1)
+def _shift_right_clamp(a, n=1):
+    """a[..., j] -> a[..., j-n] with the first entry clamped."""
+    return jnp.concatenate([a[..., :1]] * n + [a[..., :-n]], axis=-1)
 
 
-def _make_sel(b_up, b_dn):
-    """Selector for a[..., kk0] with kk0 = k0 + b_up - b_dn (cap-masked,
-    mutually exclusive booleans)."""
+def _make_sel(b_up3, b_up2, b_up1, b_dn1):
+    """Selector for a[..., kk0] with kk0 = k0 + shift, shift in [-1, 3].
+
+    With the `count(pio <= tgt)` convention an UNdisplaced interface
+    already selects shift +1 (pio[k0+1] == tgt), so interface
+    displacements of di cells map to shift = di + 1: di in [-2, +2]
+    needs shifts -1..+3.  The booleans are monotone nested
+    (b_up3 => b_up2 => b_up1) and b_dn1 excludes b_up1."""
     def sel(a):
-        return jnp.where(b_up, _shift_left_clamp(a),
-                         jnp.where(b_dn, _shift_right_clamp(a), a))
+        up23 = jnp.where(b_up3, _shift_left_clamp(a, 3),
+                         _shift_left_clamp(a, 2))
+        up = jnp.where(b_up2, up23, _shift_left_clamp(a, 1))
+        return jnp.where(b_up1, up,
+                         jnp.where(b_dn1, _shift_right_clamp(a, 1), a))
     return sel
 
 
 def remap_q_ppm(qdp, dp1, dp2, alg: int = 0):
     """Remap tracer mass qdp from layer grid dp1 to layer grid dp2.
 
-    TPU fast path: exploits the property (relied on by the reference too,
-    prim_advection_mod.F90:153-156) that the Lagrangian grid never deforms
-    past one cell, so the enclosing source cell of each new interface is
-    kk0 = k0 + (pio[k0+1] <= pin[k0+1]) — a boolean select + shift instead
-    of a gather, which on TPU is ~1000x cheaper than take_along_axis along
-    the minor axis.  `remap_q_ppm_general` keeps the search-based path.
+    TPU fast path: the Lagrangian grid deforms at most a couple of cells
+    per remap interval (cf. the reference's near-search walking loop,
+    prim_advection_mod.F90:153-156), so the enclosing source cell of each
+    new interface is found by a bounded chain of boolean shift-selects
+    (shifts -1..+3 covering interface displacements of -2..+2 cells)
+    instead of a gather, which on TPU is ~1000x cheaper than
+    take_along_axis along the minor axis.  `remap_q_ppm_general` keeps
+    the unbounded search path (used by tests as the oracle).
 
     Args:
       qdp: [..., Q, nlev]   tracer mass per layer (source grid)
@@ -171,17 +182,27 @@ def remap_q_ppm(qdp, dp1, dp2, alg: int = 0):
         [dp1[..., 1:2], dp1[..., 0:1], dp1, dp1[..., -1:], dp1[..., -2:-1]],
         axis=-1)
 
-    # kk0 = k0 + b_up - b_dn, capped to [0, nlev-1]:
-    #   b_up: new interface lies in the next-higher source cell
-    #   b_dn: it lies one cell lower (pio increasing => mutually exclusive)
+    # kk0 = k0 + shift with shift in [-1, +3] (capped to [0, nlev-1]),
+    # covering interface displacements of -2..+2 source cells: strongly
+    # divergent flow deforms the Lagrangian grid past one cell (DCMIP 1-2
+    # Hadley reaches +-2 at NE8/acme-72 with dt_remap=1200 s).  Larger
+    # deformation would need the general path; in practice the
+    # negative-layer-thickness abort fires long before +-2 is exceeded
+    # (tests/test_ppm.py::test_fast_matches_general_2cell).
     tgt = pin[..., 1:]                                  # pin[k0+1], [.., nlev]
-    b_up = (pio[..., 1:] <= tgt).at[..., -1].set(False)
-    b_dn = pio[..., :-1] > tgt                          # False at k0=0
-    sel = _make_sel(b_up, b_dn)
+    pio_l = pio[..., :-1]                               # pio[k0]
+    pio_r = pio[..., 1:]                                # pio[k0+1]
+    b_up1 = (pio_r <= tgt).at[..., -1].set(False)
+    b_up2 = (_shift_left_clamp(pio_r) <= tgt) & b_up1   # pio[k0+2] <= tgt
+    b_up2 = b_up2.at[..., -2:].set(False)
+    b_up3 = (_shift_left_clamp(pio_r, 2) <= tgt) & b_up2  # pio[k0+3] <= tgt
+    b_up3 = b_up3.at[..., -3:].set(False)
+    b_dn1 = pio_l > tgt                                 # False at k0=0
+    sel = _make_sel(b_up3, b_up2, b_up1, b_dn1)
 
     dpo_kk = sel(dp1)
-    pio_kk = sel(pio[..., :-1])                         # pio[kk0]
-    pio_kk1 = sel(pio[..., 1:])                         # pio[kk0+1]
+    pio_kk = sel(pio_l)                                 # pio[kk0]
+    pio_kk1 = sel(pio_r)                                # pio[kk0+1]
     z2 = (tgt - 0.5 * (pio_kk + pio_kk1)) / dpo_kk      # [..., nlev]
 
     # tracer-dependent part, vectorized over Q
@@ -194,7 +215,8 @@ def remap_q_ppm(qdp, dp1, dp2, alg: int = 0):
     dpo_ext_q = jnp.broadcast_to(dpo_ext[..., None, :], ao_ext.shape)
     coefs = compute_ppm_coefs(ao_ext, dpo_ext_q, alg)   # [..., Q, 3, nlev]
 
-    selq = _make_sel(b_up[..., None, :], b_dn[..., None, :])
+    selq = _make_sel(b_up3[..., None, :], b_up2[..., None, :],
+                     b_up1[..., None, :], b_dn1[..., None, :])
     masso_kk = selq(masso[..., :-1])
     c0 = selq(coefs[..., 0, :])
     c1 = selq(coefs[..., 1, :])
