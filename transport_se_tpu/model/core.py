@@ -318,10 +318,18 @@ def vertical_remap_t(m: Model, Qt, divdp_proj_t, dt_remap):
               + (m.hybi[1:] - m.hybi[:-1])[None, None, :]
               * ps_v[..., None])
     min_dp = m.tables.global_min(dp_star.min())
+    if m.cfg.use_pallas:
+        # VMEM-resident PPM kernel (~2 HBM passes)
+        from ..ops.pallas_ppm import remap_q_ppm_pallas_t
+        # eb=1: the PPM kernel carries ~35 [16, qk] intermediates in VMEM;
+        # larger element blocks exceed the 16MB scoped-vmem limit
+        Qnew_t = remap_q_ppm_pallas_t(Qt, dp_star, dp_ref,
+                                      alg=m.cfg.vert_remap_q_alg, eb=1)
+        return Qnew_t, ps_v.reshape(E, 4, 4), min_dp
     Qcol = Qt.reshape(E, 16, nq, nk)
-    # chunk the element axis: the PPM working set (parabola coefficients +
-    # shift-selected copies) is ~6x the field size — unchunked it OOMs the
-    # perf configs
+    # chunk the element axis: the XLA PPM working set (parabola
+    # coefficients + shift-selected copies) is ~6x the field size —
+    # unchunked it OOMs the perf configs
     nc = next((c for c in (8, 4, 2) if E % c == 0), 1)
     if nc > 1:
         ec = E // nc
