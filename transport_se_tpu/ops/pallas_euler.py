@@ -131,10 +131,6 @@ def _euler_kernel(nq, dt, rhs_viss, has_bih,
     masks = mask_ref[:]
 
     qdp = qdp_ref[...]                 # [eb, 16, qk] (point-major layout)
-    dp = _repeat_lanes(dp_ref[...], nq)          # [eb, 16, qk]
-    divdp = _repeat_lanes(divdp_ref[...], nq)
-    u = _repeat_lanes(u_ref[...], nq) / dp       # Vstar zonal
-    v = _repeat_lanes(v_ref[...], nq) / dp       # Vstar meridional
 
     sw = lambda r: jnp.swapaxes(r[...], -1, -2)  # [eb,1,16] -> [eb,16,1]
     d00 = sw(d00_ref)
@@ -144,6 +140,21 @@ def _euler_kernel(nq, dt, rhs_viss, has_bih,
     metdet = sw(metdet_ref)
     rmetdet = sw(rmetdet_ref)
     spheremp = sw(spheremp_ref)
+
+    # everything that only depends on level (not tracer) is computed on
+    # the small [eb,16,k] arrays, then tiled across tracers once — the
+    # divisions in particular are nq x cheaper this way
+    dpk = dp_ref[...]                  # [eb, 16, k]
+    divk = divdp_ref[...]
+    rcp_dpk = one / dpk
+    u = _repeat_lanes(u_ref[...] * rcp_dpk, nq)  # Vstar zonal  [eb,16,qk]
+    v = _repeat_lanes(v_ref[...] * rcp_dpk, nq)  # Vstar meridional
+    dp_star_k = dpk - jnp.asarray(dt, f) * divk
+    c_k = spheremp * dp_star_k                   # [eb, 16, k]
+    sumc_k = jnp.sum(c_k, axis=-2, keepdims=True)
+    c = _repeat_lanes(c_k, nq)                   # [eb, 16, qk]
+    rcp_star = _repeat_lanes(one / dp_star_k, nq)
+    dp_star = _repeat_lanes(dp_star_k, nq)
 
     gu = u * qdp                       # gradQ components
     gv = v * qdp
@@ -157,13 +168,11 @@ def _euler_kernel(nq, dt, rhs_viss, has_bih,
         qtens = qtens + bih_ref[...]
 
     # ---- limiter 8 on Q = qtens/dp_star (prim_advection_mod.F90:976) ----
-    dp_star = dp - jnp.asarray(dt, f) * divdp
-    c = spheremp * dp_star             # [eb, 16, qk]
-    x = qtens / dp_star
+    x = qtens * rcp_star
     minp = qmin_ref[...]               # [eb, 1, qk]
     maxp = qmax_ref[...]
 
-    sumc = jnp.sum(c, axis=-2, keepdims=True)
+    sumc = _repeat_lanes(sumc_k, nq)
     mass = jnp.sum(c * x, axis=-2, keepdims=True)
     validf = (sumc > 0).astype(f)
     safe_sumc = jnp.where(sumc > 0, sumc, one)
