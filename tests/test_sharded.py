@@ -100,8 +100,10 @@ def test_sharded_pallas_t_pipeline():
 
     mesh = make_mesh(jax.devices()[:4])
     runner = make_sharded_subcycle(m, mesh)
+    assert runner.plan.nbound > 0   # overlap ordering active
     Qs = runner.shard_qdp(Qdp)
     sharded, ps, _, min_dp = runner.step(Qs, jnp.asarray(0, jnp.int32))
-    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+    np.testing.assert_allclose(runner.to_model_order(sharded),
+                               np.asarray(single),
                                rtol=1e-12, atol=1e-13)
     assert float(min_dp) > 0

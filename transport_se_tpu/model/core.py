@@ -272,11 +272,35 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
                      / spheremp_t)
 
     from ..ops.pallas_euler import fused_advect_limit
+    rsph = m.rspheremp.reshape(E, 16, 1)
+    nb = getattr(m.tables, "nbound", 0)
+    if 0 < nb < E:
+        # boundary/interior split (overlap element ordering): the halo
+        # permutes depend only on the boundary kernel call, so XLA can
+        # run them while the interior kernel computes
+        u_t, v_t = uv_t
+
+        def run(sl):
+            a_sl = dict(arrays, **{k: arrays[k][sl] for k in
+                                   ("Dinv", "metdet", "rmetdet",
+                                    "spheremp")})
+            return fused_advect_limit(
+                Qt[sl], (u_t[sl], v_t[sl]), dp_t[sl], divdp_t[sl],
+                qmin[sl], qmax[sl], a_sl, float(dt), rhs_viss=rhs_viss,
+                bih=None if bih_t is None else bih_t[sl],
+                transposed=True, nq=nq, eb=cfg.pallas_eb)
+
+        out_b, qmin_b, qmax_b = run(slice(0, nb))
+        out_i, qmin_i, qmax_i = run(slice(nb, None))
+        qmin = jnp.concatenate([qmin_b, qmin_i], axis=0)
+        qmax = jnp.concatenate([qmax_b, qmax_i], axis=0)
+        return m.tables.dss_sum_t_split(out_b, out_i) * rsph, qmin, qmax
+
     out_t, qmin, qmax = fused_advect_limit(
         Qt, uv_t, dp_t, divdp_t, qmin, qmax, arrays, float(dt),
         rhs_viss=rhs_viss, bih=bih_t, transposed=True, nq=nq,
         eb=cfg.pallas_eb)
-    Qt_new = m.tables.dss_sum_t(out_t) * m.rspheremp.reshape(E, 16, 1)
+    Qt_new = m.tables.dss_sum_t(out_t) * rsph
     return Qt_new, qmin, qmax
 
 

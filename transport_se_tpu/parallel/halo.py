@@ -56,15 +56,48 @@ class ShardPlan:
     part_idx: np.ndarray      # [S, eloc*16, 3] int32 into (eloc+nhalo)*16
     part_mask: np.ndarray     # [S, eloc*16, 3] bool
     nbr: np.ndarray           # [S, eloc, 9] int32 into eloc+nhalo
+    # boundary-first ordering (overlap mode; identity otherwise)
+    perm: np.ndarray = None   # [E] int64: new global order -> original id
+    nbound: int = 0           # static boundary-group size per shard
 
 
-def build_shard_plan(grid, nshards: int) -> ShardPlan:
+def build_shard_plan(grid, nshards: int, overlap: bool = False) -> ShardPlan:
+    """overlap=True reorders each shard's local elements boundary-first
+    (elements whose data any other shard needs), exposing a static split
+    point `nbound`: the model can then compute the boundary elements,
+    START the halo permutes, and compute the interior while the payload
+    is in flight — the cuda_mod.F90:932-1009 comm/compute overlap, XLA
+    style (the scheduler hoists the collective between the two kernel
+    calls).  `perm` maps new global order -> original element ids."""
     E = grid.nelem
     if E % nshards != 0:
         raise ValueError(f"nelem {E} not divisible by {nshards} shards")
     eloc = E // nshards
     shard_of = np.arange(E) // eloc
-    local_of = np.arange(E) % eloc
+
+    if overlap:
+        sent: list[set] = [set() for _ in range(nshards)]
+        for e in range(E):
+            s = shard_of[e]
+            for n in grid.nbr[e]:
+                if shard_of[n] != s:
+                    sent[s].add(e)
+        perm = np.empty(E, dtype=np.int64)
+        local_of = np.empty(E, dtype=np.int64)
+        nbound = 0
+        for s in range(nshards):
+            base = s * eloc
+            mine = list(range(base, base + eloc))
+            b = sorted(e for e in mine if e in sent[s])
+            i = sorted(e for e in mine if e not in sent[s])
+            nbound = max(nbound, len(b))
+            for pos, e in enumerate(b + i):
+                perm[base + pos] = e
+                local_of[e] = pos
+    else:
+        perm = np.arange(E, dtype=np.int64)
+        local_of = np.arange(E) % eloc
+        nbound = 0
 
     # halo sets per shard, ordered by global element id (determinism)
     halos = []
@@ -130,8 +163,8 @@ def build_shard_plan(grid, nshards: int) -> ShardPlan:
     nbr = np.zeros((nshards, eloc, 9), np.int32)
     for s in range(nshards):
         base = s * eloc
-        for el in range(eloc):
-            ge = base + el
+        for ge in range(base, base + eloc):
+            el = int(local_of[ge])
             for k in range(9):
                 nbr[s, el, k] = ext_id(s, int(grid.nbr[ge, k]))
             for slot in range(16):
@@ -150,7 +183,8 @@ def build_shard_plan(grid, nshards: int) -> ShardPlan:
                      send_peer=send_peer, send_elem=send_elem,
                      send_mask=send_mask, recv_slot=recv_slot,
                      recv_mask=recv_mask, perms=tuple(perms),
-                     part_idx=part_idx, part_mask=part_mask, nbr=nbr)
+                     part_idx=part_idx, part_mask=part_mask, nbr=nbr,
+                     perm=perm, nbound=nbound)
 
 
 # ---------------------------------------------------------------------------
@@ -172,16 +206,18 @@ class ShardedDssTables:
     part_idx: jnp.ndarray     # [eloc*16, 3]
     part_mask: jnp.ndarray    # [eloc*16, 3]
     nbr: jnp.ndarray          # [eloc, 9]
+    nbound: int = 0           # boundary-group size (overlap ordering)
 
     # -- halo exchange of whole-element slabs ------------------------------
-    def halo_extend(self, x):
-        """x: [eloc, B..., n, n] -> [eloc+nhalo, B..., n, n] with halo."""
+    def _halo_rounds(self, src):
+        """Permute rounds gathering send slabs from `src` (the full local
+        array, or just the boundary group when overlap ordering is on)."""
         R, C = self.send_elem.shape
-        halo = jnp.zeros((self.nhalo,) + x.shape[1:], x.dtype)
+        halo = jnp.zeros((self.nhalo,) + src.shape[1:], src.dtype)
         for r in range(R):
-            payload = x[self.send_elem[r]]                    # [C, B..., n,n]
+            payload = src[self.send_elem[r]]                  # [C, B...]
             mask = self.send_mask[r].reshape(
-                (C,) + (1,) * (x.ndim - 1))
+                (C,) + (1,) * (src.ndim - 1))
             payload = jnp.where(mask, payload, 0)
             recv = jax.lax.ppermute(payload, self.axis_name,
                                     perm=list(self.perms[r]))
@@ -190,7 +226,11 @@ class ShardedDssTables:
             # duplicate padded indices (slot 0) stay correct
             halo = halo.at[self.recv_slot[r]].add(
                 jnp.where(rmask, recv, 0))
-        return jnp.concatenate([x, halo], axis=0)
+        return halo
+
+    def halo_extend(self, x):
+        """x: [eloc, B..., n, n] -> [eloc+nhalo, B..., n, n] with halo."""
+        return jnp.concatenate([x, self._halo_rounds(x)], axis=0)
 
     # -- same combine semantics as ops/dss.py ------------------------------
     def dss_sum(self, x):
@@ -211,7 +251,18 @@ class ShardedDssTables:
         """DSS on T-layout fields [eloc, 16, B] (point axis second) —
         lets the Pallas/T pipeline (model/core.py euler_step_t) run
         unchanged inside shard_map."""
-        xe = self.halo_extend(x_t)                            # [eloc+h,16,B]
+        return self._dss_from(x_t, self._halo_rounds(x_t))
+
+    def dss_sum_t_split(self, xb, xi):
+        """Overlap-friendly DSS: the halo permutes depend ONLY on the
+        boundary group xb [nbound,16,B], so XLA can schedule them while
+        the producer of the interior group xi is still running (the
+        cuda_mod.F90:932-1009 boundary/interior overlap)."""
+        halo = self._halo_rounds(xb)
+        return self._dss_from(jnp.concatenate([xb, xi], axis=0), halo)
+
+    def _dss_from(self, x_t, halo):
+        xe = jnp.concatenate([x_t, halo], axis=0)             # [eloc+h,16,B]
         E1 = xe.shape[0]
         B = x_t.shape[-1]
         xf = xe.reshape(E1 * 16, B)

@@ -36,21 +36,35 @@ def make_mesh(devices=None) -> Mesh:
 
 @dataclasses.dataclass(frozen=True)
 class ShardedRunner:
-    """Holds the mesh, plan, and the jitted sharded subcycle step."""
+    """Holds the mesh, plan, and the jitted sharded subcycle step.
+
+    In overlap mode (use_pallas configs) the element axis is reordered
+    boundary-first per shard; `shard_qdp` applies the permutation and
+    `to_model_order` undoes it on any element-indexed result."""
     model: Model
     mesh: Mesh
     plan: ShardPlan
     step: object          # fn(Qdp, nstep) -> (Qdp, ps_v, nstep, min_dp)
     qdp_sharding: object
+    inv_perm: np.ndarray
 
     def shard_qdp(self, Qdp):
-        return jax.device_put(Qdp, self.qdp_sharding)
+        return jax.device_put(Qdp[jnp.asarray(self.plan.perm)],
+                              self.qdp_sharding)
+
+    def to_model_order(self, x):
+        return np.asarray(x)[self.inv_perm]
 
 
 def make_sharded_subcycle(m: Model, mesh: Mesh,
                           diagnostics: bool = False) -> ShardedRunner:
     S = mesh.devices.size
-    plan = build_shard_plan(m.grid, S)
+    overlap = (m.cfg.use_pallas and m.cfg.limiter_option == 8
+               and not diagnostics)
+    plan = build_shard_plan(m.grid, S, overlap=overlap)
+    perm = plan.perm
+    inv_perm = np.empty_like(perm)
+    inv_perm[perm] = np.arange(perm.size)
 
     table_arrays = dict(
         send_elem=jnp.asarray(plan.send_elem),
@@ -64,6 +78,7 @@ def make_sharded_subcycle(m: Model, mesh: Mesh,
     elem_arrays = dict(lon=m.lon, lat=m.lat, D=m.D, Dinv=m.Dinv,
                        metdet=m.metdet, rmetdet=m.rmetdet,
                        spheremp=m.spheremp, rspheremp=m.rspheremp)
+    elem_arrays = {k: v[perm] for k, v in elem_arrays.items()}
 
     tab_keys = list(table_arrays)
     el_keys = list(elem_arrays)
@@ -72,7 +87,8 @@ def make_sharded_subcycle(m: Model, mesh: Mesh,
         # shard_map keeps rank: table arrays arrive as [1, ...] blocks
         tables = ShardedDssTables(
             axis_name=AXIS, eloc=plan.eloc, nhalo=plan.nhalo,
-            perms=plan.perms, **{k: tabs[k][0] for k in tab_keys})
+            perms=plan.perms, nbound=plan.nbound,
+            **{k: tabs[k][0] for k in tab_keys})
         ml = dataclasses.replace(m, tables=tables,
                                  **{k: els[k] for k in el_keys})
         step = make_subcycle_fn(ml, diagnostics=diagnostics)
@@ -97,4 +113,4 @@ def make_sharded_subcycle(m: Model, mesh: Mesh,
 
     qdp_sharding = NamedSharding(mesh, P(AXIS))
     return ShardedRunner(model=m, mesh=mesh, plan=plan, step=step,
-                         qdp_sharding=qdp_sharding)
+                         qdp_sharding=qdp_sharding, inv_perm=inv_perm)
