@@ -84,14 +84,6 @@ def _kernel(nq, nk, alg, csteps,
             out = out + masks[s:s + 1] * _rollR(out, sh)
         return out
 
-    def shiftL(x, n):  # x[k+n] with edge clamp to last value of group
-        rolled = _rollL(x, n)
-        edge = (kidx >= kf - n).astype(f)          # wrapped lanes
-        # clamp: value at k = nk-1 broadcast; get it by rolling the
-        # group-max trick: roll by (k - (nk-1)) is data-dependent — use
-        # iterated 1-step clamped shifts instead for small n
-        return rolled, edge
-
     def shift1L_clamped(x):
         rolled = _rollL(x, 1)
         edge = (kidx >= kf - 1).astype(f)
@@ -105,11 +97,6 @@ def _kernel(nq, nk, alg, csteps,
     def shiftnL(x, n):
         for _ in range(n):
             x = shift1L_clamped(x)
-        return x
-
-    def shiftnR(x, n):
-        for _ in range(n):
-            x = shift1R_clamped(x)
         return x
 
     # interfaces: pio[k] = left interface of cell k (exclusive cumsum);
