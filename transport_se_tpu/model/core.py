@@ -249,6 +249,8 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
 
     rhs_viss = 0
     bih_t = None
+    bih_mode = 0
+    nu_coef = 0.0
     if rhs_multiplier == 0:
         qmin, qmax = nbr_minmax(qmin_l, qmax_l)
     elif rhs_multiplier == 1:
@@ -258,18 +260,14 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
         rhs_viss = 3
         qmin, qmax = nbr_minmax(qmin_l, qmax_l)
         if cfg.nu_q > 0:
+            # biharmonic: laplace -> DSS -> rspheremp here; the second
+            # Laplacian + tendency run inside the fused kernel (mode 2)
             from ..ops.pallas_euler import laplace_wk_t
             rspheremp_t = m.rspheremp.reshape(E, 16, 1)
-            spheremp_t = m.spheremp.reshape(E, 16, 1)
-            lap1 = m.tables.dss_sum_t(laplace_wk_t(Q_t, arrays)) \
+            bih_t = m.tables.dss_sum_t(laplace_wk_t(Q_t, arrays)) \
                 * rspheremp_t
-            lap2 = laplace_wk_t(lap1, arrays)
-            # dp0ref broadcast matching the (q-major, k-minor) lane order
-            dp0_rep = jnp.broadcast_to(
-                m.dp0ref[None, None, None, :],
-                (E, 1, nq, nk)).reshape(E, 1, qk)
-            bih_t = (-rhs_viss * dt * cfg.nu_q * dp0_rep * lap2
-                     / spheremp_t)
+            bih_mode = 2
+            nu_coef = float(-rhs_viss * dt * cfg.nu_q)
 
     from ..ops.pallas_euler import fused_advect_limit
     rsph = m.rspheremp.reshape(E, 16, 1)
@@ -288,6 +286,7 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
                 Qt[sl], (u_t[sl], v_t[sl]), dp_t[sl], divdp_t[sl],
                 qmin[sl], qmax[sl], a_sl, float(dt), rhs_viss=rhs_viss,
                 bih=None if bih_t is None else bih_t[sl],
+                bih_mode=bih_mode, nu_coef=nu_coef, dp0=m.dp0ref,
                 transposed=True, nq=nq, eb=cfg.pallas_eb)
 
         out_b, qmin_b, qmax_b = run(slice(0, nb))
@@ -298,8 +297,8 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
 
     out_t, qmin, qmax = fused_advect_limit(
         Qt, uv_t, dp_t, divdp_t, qmin, qmax, arrays, float(dt),
-        rhs_viss=rhs_viss, bih=bih_t, transposed=True, nq=nq,
-        eb=cfg.pallas_eb)
+        rhs_viss=rhs_viss, bih=bih_t, bih_mode=bih_mode, nu_coef=nu_coef,
+        dp0=m.dp0ref, transposed=True, nq=nq, eb=cfg.pallas_eb)
     Qt_new = m.tables.dss_sum_t(out_t) * rsph
     return Qt_new, qmin, qmax
 

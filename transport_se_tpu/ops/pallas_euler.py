@@ -118,11 +118,12 @@ def _ddy_rolls(X, cy, masks):
     return out
 
 
-def _euler_kernel(nq, dt, rhs_viss, has_bih,
+def _euler_kernel(nq, dt, rhs_viss, bih_mode, nu_coef,
                   qdp_ref, u_ref, v_ref, dp_ref, divdp_ref,
                   d00_ref, d01_ref, d10_ref, d11_ref,
                   metdet_ref, rmetdet_ref, spheremp_ref,
-                  qmin_ref, qmax_ref, cx_ref, cy_ref, mask_ref, bih_ref,
+                  qmin_ref, qmax_ref, cx_ref, cy_ref, mask_ref,
+                  cxt_ref, cyt_ref, dp0_ref, bih_ref,
                   out_ref, qmin_out_ref, qmax_out_ref):
     f = qdp_ref.dtype
     one = jnp.asarray(1.0, f)
@@ -164,8 +165,28 @@ def _euler_kernel(nq, dt, rhs_viss, has_bih,
         * rmetdet * jnp.asarray(RREARTH, f)
 
     qtens = qdp - jnp.asarray(dt, f) * div
-    if has_bih:
+    if bih_mode == 1:
+        # precomputed hyperviscosity tendency
         qtens = qtens + bih_ref[...]
+    elif bih_mode == 2:
+        # second weak Laplacian of the DSS'd first Laplacian, in-kernel
+        # (biharmonic_wk_scalar second half, viscosity_mod.F90:289-351):
+        # bih input = rspheremp*DSS(laplace(Q)); tendency =
+        # nu_coef * dp0(k) * laplace(bih) / spheremp
+        b = bih_ref[...]
+        cxtj = cxt_ref[:]
+        cytj = cyt_ref[:]
+        v1 = _ddx_rolls(b, cxj)
+        v2 = _ddy_rolls(b, cyj, masks)
+        g1 = d00 * v1 + d10 * v2
+        g2 = d01 * v1 + d11 * v2
+        w1 = (d00 * g1 + d01 * g2) * spheremp
+        w2 = (d10 * g1 + d11 * g2) * spheremp
+        lap2 = -jnp.asarray(RREARTH * RREARTH, f) \
+            * (_ddx_rolls(w1, cxtj) + _ddy_rolls(w2, cytj, masks))
+        dp0lane = dp0_ref[:]           # [1, qk]
+        qtens = qtens + jnp.asarray(nu_coef, f) * dp0lane \
+            * lap2 * (one / spheremp)
 
     # ---- limiter 8 on Q = qtens/dp_star (prim_advection_mod.F90:976) ----
     x = qtens * rcp_star
@@ -284,7 +305,8 @@ def laplace_wk_t(s_t, model_arrays, interpret=None):
 
 def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
                        dt, rhs_viss=0, bih=None, interpret=None,
-                       transposed=False, nq=None, eb=1):
+                       transposed=False, nq=None, eb=1,
+                       bih_mode=None, nu_coef=0.0, dp0=None):
     """Fused advection RHS + limiter over all elements.
 
     Args (standard layout, transposed=False):
@@ -302,6 +324,12 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
     bounds [E,1,qk]) and the output stays in it — the T-layout pipeline
     (euler_step_t) avoids all per-stage relayouts.  `nq` is required then.
 
+    Hyperviscosity: bih_mode=1 adds `bih` as a precomputed tendency;
+    bih_mode=2 treats `bih` as the DSS'd FIRST Laplacian and computes the
+    second Laplacian in-kernel (tendency = nu_coef*dp0(k)*lap2/spheremp),
+    saving the separate lap2 kernel round trip.  `dp0` [nlev] required for
+    mode 2 (transposed path only).
+
     Returns (spheremp*Qtens_limited, qmin', qmax') — feed the first output
     to dss_sum then rspheremp (the pack/exchange/unpack).
     """
@@ -315,8 +343,13 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
         E, nq, nk = Qdp.shape[:3]
         qk = nq * nk
     f = Qdp.dtype
-    cx, cy = _roll_coeffs(np.asarray(model_arrays["deriv"]),
-                          transpose=False)
+    deriv_np = np.asarray(model_arrays["deriv"])
+    cx, cy = _roll_coeffs(deriv_np, transpose=False)
+    cxt, cyt = _roll_coeffs(deriv_np, transpose=True)
+    if dp0 is not None:
+        dp0lane = jnp.tile(jnp.asarray(dp0, f), nq).reshape(1, qk)
+    else:
+        dp0lane = jnp.zeros((1, qk), f)
 
     Dinv = model_arrays["Dinv"]        # [E, 4, 4, 2, 2]
     flat = lambda a: a.reshape(E, 1, N2)
@@ -332,6 +365,8 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
     # minor HBM dim a near-multiple of 128 (a [.., qk, 16] layout would be
     # lane-padded 16 -> 128, an 8x memory and bandwidth blow-up)
     has_bih = bih is not None
+    if bih_mode is None:
+        bih_mode = 1 if has_bih else 0
     if transposed:
         qdp_r = Qdp
         u_r, v_r = vn0
@@ -351,22 +386,27 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
         qmax_r = qmax.reshape(E, 1, qk)
         bih_r = tp(bih, qk) if has_bih else jnp.zeros((E, N2, 1), f)
 
-    be = lambda s2: pl.BlockSpec((1, N2, s2), lambda e: (e, 0, 0),
+    if E % eb != 0:
+        eb = 1
+    be = lambda s2: pl.BlockSpec((eb, N2, s2), lambda e: (e, 0, 0),
                                  memory_space=pltpu.VMEM)
-    brow = pl.BlockSpec((1, 1, qk), lambda e: (e, 0, 0),
+    brow = pl.BlockSpec((eb, 1, qk), lambda e: (e, 0, 0),
                         memory_space=pltpu.VMEM)
-    bmet = pl.BlockSpec((1, 1, N2), lambda e: (e, 0, 0),
+    bmet = pl.BlockSpec((eb, 1, N2), lambda e: (e, 0, 0),
                         memory_space=pltpu.VMEM)
-
     bcoef = lambda w: pl.BlockSpec((N2, w), lambda e: (0, 0),
                                    memory_space=pltpu.VMEM)
-    kernel = functools.partial(_euler_kernel, nq, dt, rhs_viss, has_bih)
+    blane = pl.BlockSpec((1, qk), lambda e: (0, 0),
+                         memory_space=pltpu.VMEM)
+    kernel = functools.partial(_euler_kernel, nq, dt, rhs_viss, bih_mode,
+                               float(nu_coef))
     out, qmin_o, qmax_o = pl.pallas_call(
         kernel,
-        grid=(E,),
+        grid=(E // eb,),
         in_specs=[be(qk), be(nk), be(nk), be(nk), be(nk),
                   bmet, bmet, bmet, bmet, bmet, bmet, bmet,
                   brow, brow, bcoef(4), bcoef(4), bcoef(4),
+                  bcoef(4), bcoef(4), blane,
                   be(qk if has_bih else 1)],
         out_specs=(be(qk), brow, brow),
         out_shape=(jax.ShapeDtypeStruct((E, N2, qk), f),
@@ -376,7 +416,8 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
     )(qdp_r, u_r, v_r, dp_r, divdp_r, d00, d01, d10, d11,
       metdet, rmetdet, spheremp, qmin_r, qmax_r,
       jnp.asarray(cx, f), jnp.asarray(cy, f),
-      jnp.asarray(_ddy_mask_mat(), f), bih_r)
+      jnp.asarray(_ddy_mask_mat(), f),
+      jnp.asarray(cxt, f), jnp.asarray(cyt, f), dp0lane, bih_r)
 
     if transposed:
         return out, qmin_o, qmax_o
