@@ -9,7 +9,10 @@ element computes, entirely VMEM-resident:
     Vstar   = vn0 / dp                                (euler_step :845-852)
     gradQ   = Vstar * Qdp
     Qtens   = Qdp - dt * divergence_sphere(gradQ)     (:873-876)
-            (+ precomputed hyperviscosity tendency on stage 2, :878)
+            + hyperviscosity on stage 2 (:878): either a precomputed
+              tendency (bih_mode=1) or, given the DSS'd first Laplacian,
+              the second weak Laplacian computed in-kernel (bih_mode=2 —
+              the back half of viscosity_mod.F90:289-351)
     limited = limiter_optim_iter_full(Qtens/dp_star)  (:886, :976-1094)
     out     = spheremp * limited                      (:901)
 
