@@ -99,6 +99,9 @@ def run_simulation(cfg: Config, model: Optional[Model] = None,
     for isub in range(n_subcycles):
         with timers.time("prim_run"):
             Qdp, ps_v, nstep, min_dp = step(Qdp, nstep)
+            # JAX dispatch is asynchronous; block so the timer measures
+            # compute (like the reference's synchronous GPTL regions)
+            jax.block_until_ready(Qdp)
         cur = int(nstep)
         check = (not cfg.disable_diagnostics
                  and (cur % cfg.statefreq < cfg.rsplit or
