@@ -32,6 +32,8 @@ def main():
     p.add_argument("--qsize", type=int, default=4)
     p.add_argument("--tstep", type=float, default=None)
     p.add_argument("--nu_q", type=float, default=None)
+    p.add_argument("--pallas", action="store_true",
+                   help="run the fused-kernel (T-layout) pipeline")
     args = p.parse_args()
 
     import jax
@@ -55,6 +57,7 @@ def main():
         (12.0 if args.test == "dcmip1-1" else 1.0)
     cfg = Config(ne=args.ne, test_case=args.test, tstep=tstep, ndays=days,
                  qsize=args.qsize, nu_q=nu, dtype=args.dtype,
+                 use_pallas=args.pallas,
                  statefreq=int(12 * 3600 / tstep) * 3)
     print(f"config: {cfg}")
     print(f"steps: {cfg.nsteps}  subcycles: {cfg.nsteps // cfg.rsplit}")
