@@ -50,3 +50,16 @@ def test_print_state(model, capsys):
     line = [ln for ln in out.splitlines() if ln.strip().startswith("ps")][0]
     mean = float(line.split()[-1])
     np.testing.assert_allclose(mean, 1.0e5, rtol=1e-12)
+
+
+def test_energy_diagnostics(model):
+    from transport_se_tpu.diagnostics import energy_diagnostics
+    from transport_se_tpu.constants import CP, T0, P0, G
+
+    e = energy_diagnostics(model, 0)
+    assert e["KE"] > 0 and e["PE"] > 0
+    # isothermal IE = cp*T0*(total mass)/g with total column mass p0-ptop
+    import numpy as np
+    ptop = float(np.asarray(model.etai)[0]) * P0
+    np.testing.assert_allclose(e["IE"], CP * T0 * (P0 - ptop) / G,
+                               rtol=1e-10)

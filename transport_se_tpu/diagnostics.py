@@ -120,6 +120,31 @@ def print_state(m, Qdp, ps_v, vn0=None):
     return "\n".join(lines)
 
 
+def energy_diagnostics(m, nstep: int, ps_v=None):
+    """Global KE / IE / PE integrals (prim_state_mod.F90:399
+    `prim_energy_halftimes`; KE = I[sum_k 0.5|v|^2 dp]/g etc.).  Under
+    prescribed winds the velocity and temperature are analytic, so these
+    are monitoring quantities, not a conserved budget.  Returns a dict of
+    scalars (kg-normalized, W/m^2-compatible units like the reference)."""
+    import jax.numpy as jnp
+    from .constants import CP, G, P0, SCALE_HEIGHT, T0
+    from .model import dcmip
+
+    cfg = m.cfg
+    t = max(nstep - 1, 0) * cfg.tstep
+    v = dcmip.winds(cfg.test_case, m.lon, m.lat, m.etam, t)  # [E,k,2,n,n]
+    dp = m.dp0col[None, :, None, None]
+    ke_col = (0.5 * (v[:, :, 0] ** 2 + v[:, :, 1] ** 2) * dp).sum(axis=1)
+    ke = float(global_integral(m, ke_col)) / G
+    # isothermal atmosphere: IE = cp*T0*M/g; PE from phi = g*H*log(1/eta)
+    mass_col = jnp.broadcast_to(dp, v[:, :, 0].shape).sum(axis=1)
+    ie = CP * T0 * float(global_integral(m, mass_col)) / G
+    phi = G * SCALE_HEIGHT * jnp.log(1.0 / m.etam)
+    pe_col = (phi[None, :, None, None] * dp).sum(axis=1)
+    pe = float(global_integral(m, pe_col)) / G
+    return {"KE": ke, "IE": ie, "PE": pe}
+
+
 def flow_fields(m, nstep: int):
     """History flow diagnostics at step `nstep`: winds, C0 vorticity and
     divergence, omega, T (prim_movie_mod.F90:395+ compute_zeta_C0 etc.;
