@@ -47,14 +47,14 @@ def write_restart(path: str, model, Qdp, ps_v, nstep: int) -> None:
                   rsplit=cfg.rsplit, qsplit=cfg.qsplit)
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)
-    tmp = path + ".tmp"
-    np.savez(tmp if tmp.endswith(".npz") else tmp,
+    # np.savez appends .npz to names without it; write to a temp name and
+    # atomically rename so a crash never leaves a torn restart file
+    tmp = path + ".tmp.npz"
+    np.savez(tmp,
              header=np.frombuffer(
                  json.dumps(header).encode(), dtype=np.uint8),
              Qdp=np.asarray(Qdp), ps_v=np.asarray(ps_v))
-    # np.savez appends .npz when missing — normalize then atomic-rename
-    src = tmp if os.path.exists(tmp) else tmp + ".npz"
-    os.replace(src, path)
+    os.replace(tmp, path)
 
 
 def read_restart(path: str) -> RestartState:
