@@ -122,9 +122,7 @@ def _ddy_rolls(X, cy, masks):
 
 
 def _euler_kernel(nq, dt, rhs_viss, bih_mode, nu_coef,
-                  qdp_ref, u_ref, v_ref, dp_ref, divdp_ref,
-                  d00_ref, d01_ref, d10_ref, d11_ref,
-                  metdet_ref, rmetdet_ref, spheremp_ref,
+                  qdp_ref, u_ref, v_ref, dp_ref, divdp_ref, met_ref,
                   qmin_ref, qmax_ref, cx_ref, cy_ref, mask_ref,
                   cxt_ref, cyt_ref, dp0_ref, bih_ref,
                   out_ref, qmin_out_ref, qmax_out_ref):
@@ -136,14 +134,17 @@ def _euler_kernel(nq, dt, rhs_viss, bih_mode, nu_coef,
 
     qdp = qdp_ref[...]                 # [eb, 16, qk] (point-major layout)
 
-    sw = lambda r: jnp.swapaxes(r[...], -1, -2)  # [eb,1,16] -> [eb,16,1]
-    d00 = sw(d00_ref)
-    d01 = sw(d01_ref)
-    d10 = sw(d10_ref)
-    d11 = sw(d11_ref)
-    metdet = sw(metdet_ref)
-    rmetdet = sw(rmetdet_ref)
-    spheremp = sw(spheremp_ref)
+    # all 7 per-element metric vectors arrive packed as one [eb,7,16]
+    # block (one DMA instead of seven tiny ones)
+    met = met_ref[...]
+    sw = lambda i: jnp.swapaxes(met[:, i:i + 1, :], -1, -2)  # [eb,16,1]
+    d00 = sw(0)
+    d01 = sw(1)
+    d10 = sw(2)
+    d11 = sw(3)
+    metdet = sw(4)
+    rmetdet = sw(5)
+    spheremp = sw(6)
 
     # everything that only depends on level (not tracer) is computed on
     # the small [eb,16,k] arrays, then tiled across tracers once — the
@@ -356,13 +357,11 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
 
     Dinv = model_arrays["Dinv"]        # [E, 4, 4, 2, 2]
     flat = lambda a: a.reshape(E, 1, N2)
-    d00 = flat(Dinv[..., 0, 0])
-    d01 = flat(Dinv[..., 0, 1])
-    d10 = flat(Dinv[..., 1, 0])
-    d11 = flat(Dinv[..., 1, 1])
-    metdet = flat(model_arrays["metdet"])
-    rmetdet = flat(model_arrays["rmetdet"])
-    spheremp = flat(model_arrays["spheremp"])
+    met_pack = jnp.concatenate(
+        [flat(Dinv[..., 0, 0]), flat(Dinv[..., 0, 1]),
+         flat(Dinv[..., 1, 0]), flat(Dinv[..., 1, 1]),
+         flat(model_arrays["metdet"]), flat(model_arrays["rmetdet"]),
+         flat(model_arrays["spheremp"])], axis=1)       # [E, 7, 16]
 
     # operand layout: point axis in sublanes, (q*k) in lanes — keeps the
     # minor HBM dim a near-multiple of 128 (a [.., qk, 16] layout would be
@@ -395,7 +394,7 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
                                  memory_space=pltpu.VMEM)
     brow = pl.BlockSpec((eb, 1, qk), lambda e: (e, 0, 0),
                         memory_space=pltpu.VMEM)
-    bmet = pl.BlockSpec((eb, 1, N2), lambda e: (e, 0, 0),
+    bmet = pl.BlockSpec((eb, 7, N2), lambda e: (e, 0, 0),
                         memory_space=pltpu.VMEM)
     bcoef = lambda w: pl.BlockSpec((N2, w), lambda e: (0, 0),
                                    memory_space=pltpu.VMEM)
@@ -406,8 +405,7 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
     out, qmin_o, qmax_o = pl.pallas_call(
         kernel,
         grid=(E // eb,),
-        in_specs=[be(qk), be(nk), be(nk), be(nk), be(nk),
-                  bmet, bmet, bmet, bmet, bmet, bmet, bmet,
+        in_specs=[be(qk), be(nk), be(nk), be(nk), be(nk), bmet,
                   brow, brow, bcoef(4), bcoef(4), bcoef(4),
                   bcoef(4), bcoef(4), blane,
                   be(qk if has_bih else 1)],
@@ -416,8 +414,7 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
                    jax.ShapeDtypeStruct((E, 1, qk), f),
                    jax.ShapeDtypeStruct((E, 1, qk), f)),
         interpret=interpret,
-    )(qdp_r, u_r, v_r, dp_r, divdp_r, d00, d01, d10, d11,
-      metdet, rmetdet, spheremp, qmin_r, qmax_r,
+    )(qdp_r, u_r, v_r, dp_r, divdp_r, met_pack, qmin_r, qmax_r,
       jnp.asarray(cx, f), jnp.asarray(cy, f),
       jnp.asarray(_ddy_mask_mat(), f),
       jnp.asarray(cxt, f), jnp.asarray(cyt, f), dp0lane, bih_r)
