@@ -50,8 +50,10 @@ class Config:
                                   # (limiter); CPU/interpret fallback off
     pallas_eb: int = 4            # elements per fused-kernel invocation
     dss_mode: str = "gather"      # gather (BFB partner order) | segsum
-                                  # (faster scatter-add, roundoff-level
-                                  #  reassociation; perf configs)
+                                  # (scatter-add, roundoff reassociation) |
+                                  # face (shifted-slice assembly, fastest;
+                                  #  requires elem_order="raster")
+    elem_order: str = "gilbert"   # element storage order (see build_grid)
 
     # diagnostics
     statefreq: int = 20
@@ -72,6 +74,8 @@ class Config:
             raise NotImplementedError(
                 "hypervis_subcycle_q != 1 (all shipped DCMIP configs use 1; "
                 "test/dcmip1-1/dcmip1-1.nl hypervis_subcycle=1)")
+        if self.dss_mode == "face" and self.elem_order != "raster":
+            raise ValueError("dss_mode='face' requires elem_order='raster'")
         if self.vert_remap_q_alg not in (0, 1, 2):
             raise NotImplementedError(
                 "vert_remap_q_alg must be 0/1 (mirrored-ghost PPM; in this "
@@ -123,6 +127,7 @@ def perf_config(ne: int, **kw) -> Config:
     """35-tracer throughput configs (test/run_ne*_perf.sh, README:160-192)."""
     tstep = {8: 1200.0, 30: 300.0, 120: 75.0}[ne]
     nu = {8: 6e16, 30: 1e15, 120: 1e13}[ne]
-    kw.setdefault("dss_mode", "segsum")
+    kw.setdefault("dss_mode", "face")
+    kw.setdefault("elem_order", "raster")
     return Config(ne=ne, test_case="dcmip1-1", tstep=tstep, qsize=35,
                   nu_q=nu, disable_diagnostics=True, **kw)

@@ -274,14 +274,29 @@ def _tables_from_gids(gid_flat: np.ndarray, ngid: int, E: int):
 # grid construction
 # --------------------------------------------------------------------------
 
-def build_grid(ne: int) -> Grid:
-    """Build the full grid for 6*ne^2 elements (cf. prim_init1 call stack)."""
+def build_grid(ne: int, order: str = "gilbert") -> Grid:
+    """Build the full grid for 6*ne^2 elements (cf. prim_init1 call stack).
+
+    order selects the element storage order (both are face-major):
+      "gilbert": generalized-Hilbert SFC within each face (the reference's
+        genspacepart discipline, spacecurve_mod.F90:1218) — compact shard
+        chunks for the halo-exchange path.
+      "raster": ey-major raster within each face — required by the
+        face-shift DSS (ops/dss_face.py), where within-face assembly
+        becomes static shifted slices.
+    """
     E = 6 * ne * ne
     gx, gw = gll_points_weights(NP)
     deriv = gll_derivative_matrix(NP)
 
-    # --- element ordering: face-major, gilbert SFC within each face
-    curve = gilbert_curve(ne, ne)                       # [ne*ne, 2]
+    # --- element ordering: face-major, per-face order by `order`
+    if order == "gilbert":
+        curve = gilbert_curve(ne, ne)                   # [ne*ne, 2]
+    elif order == "raster":
+        p = np.arange(ne * ne)
+        curve = np.stack([p % ne, p // ne], axis=1)     # ex fast, ey slow
+    else:
+        raise ValueError(f"unknown element order {order!r}")
     face = np.repeat(np.arange(1, 7), ne * ne)
     ex = np.tile(curve[:, 0], 6)
     ey = np.tile(curve[:, 1], 6)

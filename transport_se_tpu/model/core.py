@@ -85,7 +85,8 @@ class Model:
 
 
 def build_model(cfg: Config, grid: Optional[Grid] = None) -> Model:
-    grid = grid if grid is not None else build_grid(cfg.ne)
+    grid = grid if grid is not None else build_grid(cfg.ne,
+                                                   order=cfg.elem_order)
     if cfg.vcoord == "acme72":
         hv = hvcoord_acme72()
     elif cfg.vcoord.startswith("dcmip"):
@@ -235,12 +236,11 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
 
     dp0_t = jnp.broadcast_to(m.dp0col[None, None, :], (E, 16, nk))
     dp_t = dp0_t - rhs_multiplier * dt * divdp_proj_t        # [E,16,k]
-    dp_rep = jnp.broadcast_to(dp_t[:, :, None, :],
-                              (E, 16, nq, nk)).reshape(E, 16, qk)
-    Q_t = Qt / dp_rep
+    rsp16 = m.rspheremp.reshape(E, 16)
 
-    qmin_l = Q_t.min(axis=1)[:, None]                        # [E,1,qk]
-    qmax_l = Q_t.max(axis=1)[:, None]
+    qmin_l, qmax_l = m.tables.minmax_prep(Qt, dp_t, nq)      # [E, qk]
+    qmin_l = qmin_l[:, None]                                 # [E,1,qk]
+    qmax_l = qmax_l[:, None]
 
     def nbr_minmax(a_min, a_max):
         gmin, gmax = m.tables.neighbor_minmax(
@@ -263,9 +263,10 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
             # biharmonic: laplace -> DSS -> rspheremp here; the second
             # Laplacian + tendency run inside the fused kernel (mode 2)
             from ..ops.pallas_euler import laplace_wk_t
-            rspheremp_t = m.rspheremp.reshape(E, 16, 1)
-            bih_t = m.tables.dss_sum_t(laplace_wk_t(Q_t, arrays)) \
-                * rspheremp_t
+            dp_rep = jnp.broadcast_to(dp_t[:, :, None, :],
+                                      (E, 16, nq, nk)).reshape(E, 16, qk)
+            Q_t = Qt / dp_rep
+            bih_t = m.tables.dss_scale_t(laplace_wk_t(Q_t, arrays), rsp16)
             bih_mode = 2
             nu_coef = float(-rhs_viss * dt * cfg.nu_q)
 
@@ -299,7 +300,7 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
         Qt, uv_t, dp_t, divdp_t, qmin, qmax, arrays, float(dt),
         rhs_viss=rhs_viss, bih=bih_t, bih_mode=bih_mode, nu_coef=nu_coef,
         dp0=m.dp0ref, transposed=True, nq=nq, eb=cfg.pallas_eb)
-    Qt_new = m.tables.dss_sum_t(out_t) * rsph
+    Qt_new = m.tables.dss_scale_t(out_t, rsp16)
     return Qt_new, qmin, qmax
 
 
@@ -316,8 +317,8 @@ def advect_rk2_t(m: Model, Qt, vn0, dt_q):
     v_t = _tp(vn0[:, :, 1], E, nk)
     # divdp_proj = DSS-projected divdp (stage 0 piggyback in the reference;
     # here done directly in T layout)
-    divdp_proj_t = m.tables.dss_sum_t(divdp_t * m.spheremp.reshape(E, 16, 1)) \
-        * m.rspheremp.reshape(E, 16, 1)
+    divdp_proj_t = m.tables.dss_scale_t(
+        divdp_t * m.spheremp.reshape(E, 16, 1), m.rspheremp.reshape(E, 16))
 
     dt2 = dt_q / 2.0
     zmin = jnp.zeros((E, 1, Qt.shape[2]), Qt.dtype)

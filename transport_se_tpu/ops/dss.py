@@ -45,9 +45,14 @@ class DssTables:
     gid: jnp.ndarray = None  # [E*16] int32 (segsum mode)
     ngid: int = 0
     mode: str = "gather"
+    face: object = None      # FaceTables (mode "face")
 
     @staticmethod
     def from_grid(grid, mode: str = "gather") -> "DssTables":
+        face = None
+        if mode == "face":
+            from .dss_face import build_face_tables
+            face = build_face_tables(grid)
         return DssTables(
             part_idx=jnp.asarray(grid.part_idx),
             part_mask=jnp.asarray(grid.part_mask),
@@ -56,15 +61,27 @@ class DssTables:
             gid=jnp.asarray(grid.gid.reshape(-1)),
             ngid=grid.ngid,
             mode=mode,
+            face=face,
         )
 
     def dss_sum(self, x):
+        if self.mode == "face":
+            # [E, B..., n, n] -> T layout -> face DSS -> back
+            from .dss_face import dss_sum_t_face
+            E = x.shape[0]
+            nn = x.shape[-1] * x.shape[-2]
+            xt = jnp.moveaxis(x.reshape(E, -1, nn), 1, 2)
+            out = dss_sum_t_face(xt, self.face)
+            return jnp.moveaxis(out, 2, 1).reshape(x.shape)
         if self.mode == "segsum":
             return dss_sum_segsum(x, self)
         return dss_sum(x, self)
 
     def dss_sum_t(self, x_t):
         """DSS on T-layout fields x_t [E, 16, B] (point axis second)."""
+        if self.mode == "face":
+            from .dss_face import dss_sum_t_face
+            return dss_sum_t_face(x_t, self.face)
         E, nn, B = x_t.shape
         xf = x_t.reshape(E * nn, B)
         if self.mode == "segsum":
@@ -76,7 +93,28 @@ class DssTables:
         contrib = jnp.where(self.part_mask[..., None], partners, 0)
         return (xf + contrib.sum(axis=1)).reshape(x_t.shape)
 
+    def dss_scale_t(self, x_t, rsp):
+        """rsp * DSS(x_t) on T-layout fields; rsp [E, 16].  Face mode runs
+        the fused Pallas kernel (ops/pallas_dss.py)."""
+        if self.mode == "face":
+            from .pallas_dss import dss_face_pallas
+            return dss_face_pallas(x_t, self.face, rsp=rsp)
+        return self.dss_sum_t(x_t) * rsp[:, :, None]
+
+    def minmax_prep(self, x_t, dp, nq):
+        """Per-element min/max over points of Q = x_t/dp -> ([E,B], [E,B]).
+        x_t [E,16,B] (B = nq*nlev, level minor); dp [E,16,nlev]."""
+        if self.mode == "face":
+            from .pallas_dss import minmax_prep_pallas
+            return minmax_prep_pallas(x_t, dp, nq)
+        E, nn, B = x_t.shape
+        q = x_t.reshape(E, nn, nq, dp.shape[-1]) / dp[:, :, None, :]
+        return (q.min(axis=1).reshape(E, B), q.max(axis=1).reshape(E, B))
+
     def neighbor_minmax(self, qmin, qmax):
+        if self.mode == "face":
+            from .dss_face import neighbor_minmax_face
+            return neighbor_minmax_face(qmin, qmax, self.face)
         return neighbor_minmax(qmin, qmax, self)
 
     def global_min(self, x):

@@ -1,0 +1,283 @@
+"""Pallas face-shift DSS kernel: assembly at HBM bandwidth.
+
+Device kernel for the face-shift DSS formulation of ops/dss_face.py
+(reference: edge_mod.F90:366 `edgeVpack`, :648 `edgeVunpack`,
+bndry_mod.F90:21 `bndry_exchangeV` — here one fused streaming pass).  The
+XLA formulation materializes every shifted slice in HBM (~10+ passes); this
+kernel keeps the whole block in VMEM and reads/writes each field element
+once (~2.2 ms floor at NE30/35 tracers vs ~17 ms scatter-add assembly).
+
+Grid: (6 faces, ne/by row-blocks, B/bc lane chunks).  A block holds `by`
+full element rows of one face: [by, ne, 16, bc].  Within-face partners are
+in-block slices; rows above/below the block arrive via two extra 1-row
+BlockSpecs on the same array (clamped at face edges, replaced there by seam
+ghosts); the 12 cube seams and the across-seam corner diagonals come from
+four ghost strips [6, ne+2, 4, B] whose zero padding rows encode the
+missing diagonal at cube vertices.
+
+Optional fusion (saves two HBM round trips of the field per stage):
+post-DSS rspheremp scale (make_C0 epilogue, prim_advection_mod.F90:929-960)
+and the next stage's limiter-bound min/max over element points
+(euler_step :750-778).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_by(ne: int, bc: int) -> int:
+    """Row-block height: divisor of ne, block size <= ~2 MB."""
+    cap = max(1, 2_000_000 // (ne * 16 * bc * 4))
+    return max(d for d in range(1, ne + 1) if ne % d == 0 and d <= cap)
+
+
+def _dss_face_kernel(by, ne, nlev, with_scale, with_minmax,
+                     x_ref, xu_ref, xd_ref,
+                     gpx_ref, gmx_ref, gpy_ref, gmy_ref,
+                     rsp_ref, dp_ref,
+                     out_ref, qmin_ref=None, qmax_ref=None):
+    f = x_ref.dtype
+    r = pl.program_id(1)
+    nr = pl.num_programs(1)
+    row0 = r * by
+
+    x = x_ref[0]                    # [by, ne, 16, bc]
+    bc = x.shape[-1]
+
+    # ---- +-x edge partners (ex shifts within rows; seams from ghosts) ----
+    gpx = gpx_ref[0, pl.ds(row0 + 1, by)]       # [by, 4, bc] edge rows
+    gmx = gmx_ref[0, pl.ds(row0 + 1, by)]
+    S_px = jnp.concatenate([x[:, 1:, 0:4, :], gpx[:, None]], axis=1)
+    S_mx = jnp.concatenate([gmx[:, None], x[:, :-1, 12:16, :]], axis=1)
+
+    # ---- +-y sources: slot rows (i,0) of the row above / (i,3) below ----
+    xv = x.reshape(by, ne, 4, 4, bc)
+    is_top = r == nr - 1
+    is_bot = r == 0
+    up_in = xu_ref[0, 0].reshape(ne, 4, 4, bc)[:, :, 0, :]    # [ne, 4, bc]
+    dn_in = xd_ref[0, 0].reshape(ne, 4, 4, bc)[:, :, 3, :]
+    gpy = gpy_ref[0, 1:ne + 1]                                # [ne, 4, bc]
+    gmy = gmy_ref[0, 1:ne + 1]
+    up_row = jnp.where(is_top, gpy, up_in)
+    dn_row = jnp.where(is_bot, gmy, dn_in)
+    rows_above = jnp.concatenate(
+        [xv[1:, :, :, 0, :], up_row[None]], axis=0)           # [by,ne,4,bc]
+    rows_below = jnp.concatenate(
+        [dn_row[None], xv[:-1, :, :, 3, :]], axis=0)
+
+    # ---- corner diagonals (the diagonal element's coincident slot) ----
+    # (+x,+y): slot (0,0) of (ey+1, ex+1); +x seam: ghost row j=0 at ey+1
+    d_pp = jnp.concatenate(
+        [rows_above[:, 1:, 0, :],
+         gpx_ref[0, pl.ds(row0 + 2, by), 0][:, None]], axis=1)
+    # (+x,-y): slot (0,3) of (ey-1, ex+1); +x seam: ghost row j=3 at ey-1
+    d_pm = jnp.concatenate(
+        [rows_below[:, 1:, 0, :],
+         gpx_ref[0, pl.ds(row0, by), 3][:, None]], axis=1)
+    # (-x,+y): slot (3,0) of (ey+1, ex-1); -x seam: ghost row j=0 at ey+1
+    d_mp = jnp.concatenate(
+        [gmx_ref[0, pl.ds(row0 + 2, by), 0][:, None],
+         rows_above[:, :-1, 3, :]], axis=1)
+    # (-x,-y): slot (3,3) of (ey-1, ex-1); -x seam: ghost row j=3 at ey-1
+    d_mm = jnp.concatenate(
+        [gmx_ref[0, pl.ds(row0, by), 3][:, None],
+         rows_below[:, :-1, 3, :]], axis=1)
+
+    # ---- assemble via concat placement (no scatter, no masks) ----
+    z2 = jnp.zeros((by, ne, 2, bc), f)
+    g_i0 = S_mx + jnp.concatenate(
+        [d_mm[:, :, None], z2, d_mp[:, :, None]], axis=2)     # slots 0..3
+    g_i3 = S_px + jnp.concatenate(
+        [d_pm[:, :, None], z2, d_pp[:, :, None]], axis=2)     # slots 12..15
+    zmid = jnp.zeros((by, ne, 8, bc), f)
+    res = x + jnp.concatenate([g_i0, zmid, g_i3], axis=2)
+    z3 = jnp.zeros((by, ne, 4, 3, bc), f)
+    t_py = jnp.concatenate([z3, rows_above[..., None, :]], axis=3)
+    t_my = jnp.concatenate([rows_below[..., None, :], z3], axis=3)
+    res = res + (t_py + t_my).reshape(by, ne, 16, bc)
+
+    if with_scale:
+        res = res * rsp_ref[0][..., None]
+    out_ref[0] = res
+    if with_minmax:
+        # lane l of chunk b holds level (b*bc + l) % nlev (lanes are the
+        # flattened (tracer, level) axis, level minor; chunk boundaries
+        # need not align with tracers).  Build the per-lane dp by tiling
+        # dp along lanes and rotating to the chunk's phase.
+        # dp tiled to a multiple of nlev covering bc, rotated to the
+        # chunk's phase: dpl[l] = dp[(b*bc + l) % nlev]
+        t = max(1, -(-bc // nlev))
+        dp_t = jnp.concatenate([dp_ref[0]] * t, axis=-1) if t > 1 \
+            else dp_ref[0][..., :]
+        start = (pl.program_id(2) * bc) % nlev
+        dpl = pltpu.roll(dp_t, -start, axis=3)[..., :bc]
+        q = res / dpl
+        qmin_ref[0] = q.min(axis=2)
+        qmax_ref[0] = q.max(axis=2)
+
+
+def dss_face_pallas(x_t, ft, rsp=None, dp=None, nlev=None, interpret=None):
+    """Face-shift DSS on x_t [E, 16, B] (raster face order).
+
+    rsp: optional [E, 16] rspheremp — fused post-scale (make_C0).
+    dp:  optional [E, 16, nlev] next-stage layer thickness — also return
+         qmin/qmax [E, B] of Q = out/dp (requires rsp; B = nq*nlev, level
+         minor).  Returns (out, qmin, qmax) then, else out.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    ne = ft.ne
+    E, nn, B = x_t.shape
+    f = x_t.dtype
+    with_minmax = dp is not None
+    if with_minmax:
+        nlev = dp.shape[-1]
+        if B % nlev:
+            raise ValueError("B must be a multiple of nlev")
+        if rsp is None:
+            raise ValueError("minmax fusion requires rsp")
+    # Mosaic wants the last block dim 128-divisible (or whole): pad the
+    # lane axis up and chunk by 128s; padded lanes carry zeros through the
+    # assembly (harmless) and are sliced off on return.
+    Bp = -(-B // 128) * 128
+    if Bp != B:
+        x_t = jnp.pad(x_t, ((0, 0), (0, 0), (0, Bp - B)))
+    bc = 128 if Bp % 128 == 0 else Bp
+    while Bp % bc:
+        bc = Bp
+    by = _pick_by(ne, bc)
+
+    xf = x_t.reshape(E * nn, Bp)
+
+    def strips(gidx):
+        g = xf[gidx].astype(f)                # [6, ne, 4, Bp]
+        z = jnp.zeros((6, 1, 4, Bp), f)
+        return jnp.concatenate([z, g, z], axis=1)
+
+    gpx, gmx = strips(ft.ghost_px), strips(ft.ghost_mx)
+    gpy, gmy = strips(ft.ghost_py), strips(ft.ghost_my)
+
+    x6 = x_t.reshape(6, ne, ne, nn, Bp)
+    nr = ne // by
+    nb = Bp // bc
+
+    bmain = pl.BlockSpec((1, by, ne, nn, bc),
+                         lambda face, r, b: (face, r, 0, 0, b),
+                         memory_space=pltpu.VMEM)
+    brow_up = pl.BlockSpec(
+        (1, 1, ne, nn, bc),
+        lambda face, r, b: (face, jnp.minimum(r * by + by, ne - 1), 0, 0, b),
+        memory_space=pltpu.VMEM)
+    brow_dn = pl.BlockSpec(
+        (1, 1, ne, nn, bc),
+        lambda face, r, b: (face, jnp.maximum(r * by - 1, 0), 0, 0, b),
+        memory_space=pltpu.VMEM)
+    bstrip = pl.BlockSpec((1, ne + 2, 4, bc),
+                          lambda face, r, b: (face, 0, 0, b),
+                          memory_space=pltpu.VMEM)
+
+    if rsp is not None:
+        rsp6 = rsp.reshape(6, ne, ne, nn).astype(f)
+        brsp = pl.BlockSpec((1, by, ne, nn),
+                            lambda face, r, b: (face, r, 0, 0),
+                            memory_space=pltpu.VMEM)
+    else:
+        rsp6 = jnp.zeros((6, 1, 1, 1), f)
+        brsp = pl.BlockSpec((1, 1, 1, 1), lambda face, r, b: (face, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    if with_minmax:
+        dp6 = dp.reshape(6, ne, ne, nn, nlev).astype(f)
+        bdp = pl.BlockSpec((1, by, ne, nn, nlev),
+                           lambda face, r, b: (face, r, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+        bmm = pl.BlockSpec((1, by, ne, bc),
+                           lambda face, r, b: (face, r, 0, b),
+                           memory_space=pltpu.VMEM)
+        out_specs = (bmain, bmm, bmm)
+        out_shape = (jax.ShapeDtypeStruct(x6.shape, f),
+                     jax.ShapeDtypeStruct((6, ne, ne, Bp), f),
+                     jax.ShapeDtypeStruct((6, ne, ne, Bp), f))
+    else:
+        dp6 = jnp.zeros((6, 1, 1, 1, 1), f)
+        bdp = pl.BlockSpec((1, 1, 1, 1, 1),
+                           lambda face, r, b: (face, 0, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+        out_specs = bmain
+        out_shape = jax.ShapeDtypeStruct(x6.shape, f)
+
+    kernel = functools.partial(_dss_face_kernel, by, ne, nlev,
+                               rsp is not None, with_minmax)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(6, nr, nb),
+        in_specs=[bmain, brow_up, brow_dn,
+                  bstrip, bstrip, bstrip, bstrip, brsp, bdp],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(x6, x6, x6, gpx, gmx, gpy, gmy, rsp6, dp6)
+
+    if with_minmax:
+        out, qmin, qmax = outs
+        return (out.reshape(E, nn, Bp)[..., :B],
+                qmin.reshape(E, Bp)[..., :B],
+                qmax.reshape(E, Bp)[..., :B])
+    return outs.reshape(E, nn, Bp)[..., :B]
+
+
+# ---------------------------------------------------------------------------
+# limiter-bound preparation: per-element min/max of Q = Qdp/dp
+# ---------------------------------------------------------------------------
+
+def _minmax_kernel(nq, x_ref, dp_ref, qmin_ref, qmax_ref):
+    """qmin/qmax over the 16 GLL points of Q = x/dp (euler_step :750-778).
+
+    dp [eb, 16, nlev] is tiled along lanes in VMEM (lanes = (tracer,
+    level), level minor) — no HBM-side repeat, no lane reshape.
+    """
+    x = x_ref[...]                       # [eb, 16, B]
+    dp = dp_ref[...]
+    dp_lane = jnp.concatenate([dp] * nq, axis=-1)
+    q = x / dp_lane
+    qmin_ref[...] = q.min(axis=1)
+    qmax_ref[...] = q.max(axis=1)
+
+
+def minmax_prep_pallas(x_t, dp, nq, interpret=None):
+    """Per-element min/max over points of Q = x_t/dp.
+
+    x_t: [E, 16, B] tracer mass (B = nq*nlev, level minor)
+    dp:  [E, 16, nlev]
+    Returns (qmin, qmax) [E, B].
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    E, nn, B = x_t.shape
+    nlev = dp.shape[-1]
+    if B != nq * nlev:
+        raise ValueError("B must equal nq*nlev")
+    f = x_t.dtype
+    cap = max(1, 1_500_000 // (nn * B * 4))
+    eb = max(d for d in range(1, min(E, 64) + 1) if E % d == 0 and d <= cap)
+    kernel = functools.partial(_minmax_kernel, nq)
+    bx = pl.BlockSpec((eb, nn, B), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    bdp = pl.BlockSpec((eb, nn, nlev), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    bmm = pl.BlockSpec((eb, B), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(E // eb,),
+        in_specs=[bx, bdp],
+        out_specs=(bmm, bmm),
+        out_shape=(jax.ShapeDtypeStruct((E, B), f),
+                   jax.ShapeDtypeStruct((E, B), f)),
+        interpret=interpret,
+    )(x_t, dp.astype(f))

@@ -271,6 +271,16 @@ class ShardedDssTables:
         contrib = jnp.where(self.part_mask[..., None], partners, 0)
         return (own + contrib.sum(axis=1)).reshape(x_t.shape)
 
+    def dss_scale_t(self, x_t, rsp):
+        """rsp * DSS(x_t); same interface as DssTables.dss_scale_t."""
+        return self.dss_sum_t(x_t) * rsp[:, :, None]
+
+    def minmax_prep(self, x_t, dp, nq):
+        """Per-element min/max over points of Q = x_t/dp (per shard)."""
+        E, nn, B = x_t.shape
+        q = x_t.reshape(E, nn, nq, dp.shape[-1]) / dp[:, :, None, :]
+        return (q.min(axis=1).reshape(E, B), q.max(axis=1).reshape(E, B))
+
     def global_min(self, x):
         return jax.lax.pmin(x.min(), self.axis_name)
 
