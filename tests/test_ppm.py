@@ -157,3 +157,30 @@ def test_fast_matches_general_2cell():
                                rtol=1e-12, atol=1e-13)
     np.testing.assert_allclose(np.asarray(fast.sum(-1)),
                                np.asarray(qdp.sum(-1)), rtol=1e-12)
+
+
+def test_fast_margin_guard():
+    """ppm_fast_margin flags >2-cell interface displacement (the fast
+    path's silent-wrong-mass regime) while staying positive for small
+    deformation."""
+    from transport_se_tpu.ops.ppm import ppm_fast_margin
+    nlev = 12
+    dp1 = jnp.ones((3, nlev))
+    # mild deformation: +-20% — well within the window
+    wiggle = 1.0 + 0.2 * jnp.sin(jnp.arange(nlev))
+    d1 = dp1 * wiggle
+    d1 = d1 * (nlev / d1.sum(-1, keepdims=True))
+    assert float(ppm_fast_margin(d1, dp1)) > 0
+    # severe: all the source mass concentrated in the first cells so the
+    # later target interfaces fall > 2 source cells away
+    d_bad = jnp.concatenate(
+        [jnp.full((3, 4), (nlev - 0.4 * (nlev - 4)) / 4),
+         jnp.full((3, nlev - 4), 0.4)], axis=-1)
+    assert float(ppm_fast_margin(d_bad, dp1)) < 0
+    # the guard must fire exactly when fast disagrees with the oracle
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.uniform(0.2, 1.0, (3, 2, nlev))) * d_bad[:, None]
+    from transport_se_tpu.ops.ppm import remap_q_ppm_general
+    fast = remap_q_ppm(q, d_bad, dp1)
+    gen = remap_q_ppm_general(q, d_bad, dp1)
+    assert float(jnp.abs(fast - gen).max()) > 1e-6

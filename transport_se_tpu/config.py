@@ -60,20 +60,16 @@ class Config:
     disable_diagnostics: bool = False
 
     def __post_init__(self):
-        if self.qsplit != 1:
-            raise NotImplementedError(
-                "qsplit>1: the reference mini-app's shipped configs all use "
-                "qsplit=1 (test/dcmip1-1/dcmip1-1.nl)")
+        if self.qsplit < 1:
+            raise ValueError("qsplit must be >= 1")
         if self.rsplit < 1:
             raise NotImplementedError("rsplit=0 (Eulerian) not supported")
-        if self.limiter_option not in (0, 8):
-            raise NotImplementedError("limiter_option must be 0 or 8")
+        if self.limiter_option not in (0, 4, 8):
+            raise NotImplementedError("limiter_option must be 0, 4, or 8")
         if not self.prescribed_wind:
             raise NotImplementedError("only prescribed-wind transport")
-        if self.hypervis_subcycle_q != 1:
-            raise NotImplementedError(
-                "hypervis_subcycle_q != 1 (all shipped DCMIP configs use 1; "
-                "test/dcmip1-1/dcmip1-1.nl hypervis_subcycle=1)")
+        if self.hypervis_subcycle_q < 1:
+            raise ValueError("hypervis_subcycle_q must be >= 1")
         if self.dss_mode == "face" and self.elem_order != "raster":
             raise ValueError("dss_mode='face' requires elem_order='raster'")
         if self.vert_remap_q_alg not in (0, 1, 2):

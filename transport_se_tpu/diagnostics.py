@@ -75,6 +75,12 @@ def print_cfl(m, cfg, umax: float = 120.0, verbose: bool = True):
     normDinv_hypervis = (lambda_vis ** 2) * (RREARTH * max_normDinv) ** 4
     dt_hv = (1.0 / (cfg.nu_q * normDinv_hypervis)
              if cfg.nu_q > 0 else np.inf)
+    # subcycled hyperviscosity runs at dt/hypervis_subcycle_q, so the
+    # limit on the full tracer step scales up (prim_driver_mod.F90:461
+    # dt_tracer_vis = dt_tracer_vis/hypervis_subcycle_q).  The shipped
+    # CPU euler_step path never subcycles (fused rhs_viss; only
+    # cuda_mod.F90:664 loops) — this factor affects the self-check only.
+    dt_hv = dt_hv * cfg.hypervis_subcycle_q
     if verbose:
         print("CFL estimates in terms of S=time step stability region")
         print(f"SSP preservation (120m/s) RKSSP euler step dt  < S * "

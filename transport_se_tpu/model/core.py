@@ -186,7 +186,7 @@ def euler_step(m: Model, Qdp_n0, qmin, qmax, divdp, divdp_proj, vn0,
     if Qtens_bih is not None:
         Qtens = Qtens + Qtens_bih
 
-    if cfg.limiter_option == 8:
+    if cfg.limiter_option == 8:  # noqa: SIM114 (dispatch mirrors reference)
         # limiter on Q = Qtens/dp_star with the UN-projected divdp
         dp_star = dp - dt * divdp                     # [E,k,n,n]
         shp = Qtens.shape
@@ -198,8 +198,13 @@ def euler_step(m: Model, Qdp_n0, qmin, qmax, divdp, divdp_proj, vn0,
         Qt_flat, qmin, qmax = limiter_optim_iter_full(
             Qtens.reshape(flat), sp_flat, qmin, qmax, dps_flat)
         Qtens = Qt_flat.reshape(shp)
-    elif cfg.limiter_option == 0:
-        pass  # no limiting inside the stage
+    else:
+        # limiter_option 0 / 4: the reference's CPU euler_step applies NO
+        # limiter for these (only option 8 dispatches in the stage loop,
+        # prim_advection_mod.F90:858,880; limiter2d_zero/minmax exist but
+        # are never called on the shipped path — see ops/limiter.py where
+        # both are provided as tested ops for parity)
+        pass
 
     Qdp_np1 = _dss_scale(m, Qtens)
     dssvar_out = _dss_scale(m, dssvar) if dssvar is not None else None
@@ -304,6 +309,21 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
     return Qt_new, qmin, qmax
 
 
+def advect_rk2_t_parts(m: Model, Qt, uv_t, divdp_t, divdp_proj_t, dt_q):
+    """T-layout RK2 advection from precomputed wind parts (uv_t = the
+    mean-flux (u*dp, v*dp) pair, each [E,16,k])."""
+    E = Qt.shape[0]
+    dt2 = dt_q / 2.0
+    zmin = jnp.zeros((E, 1, Qt.shape[2]), Qt.dtype)
+    Qt1, qmin, qmax = euler_step_t(m, Qt, zmin, zmin, divdp_t,
+                                   divdp_proj_t, uv_t, dt2, 0)
+    Qt2, qmin, qmax = euler_step_t(m, Qt1, qmin, qmax, divdp_t,
+                                   divdp_proj_t, uv_t, dt2, 1)
+    Qt3, qmin, qmax = euler_step_t(m, Qt2, qmin, qmax, divdp_t,
+                                   divdp_proj_t, uv_t, dt2, 2)
+    return (Qt + 2.0 * Qt3) / 3.0, divdp_proj_t
+
+
 def advect_rk2_t(m: Model, Qt, vn0, dt_q):
     """T-layout Prim_Advec_Tracers_remap_rk2 (perf path; no piggyback
     diagnostics).  Qt [E,16,qk]; vn0 [E,k,2,n,n] standard (it is small).
@@ -319,16 +339,8 @@ def advect_rk2_t(m: Model, Qt, vn0, dt_q):
     # here done directly in T layout)
     divdp_proj_t = m.tables.dss_scale_t(
         divdp_t * m.spheremp.reshape(E, 16, 1), m.rspheremp.reshape(E, 16))
-
-    dt2 = dt_q / 2.0
-    zmin = jnp.zeros((E, 1, Qt.shape[2]), Qt.dtype)
-    Qt1, qmin, qmax = euler_step_t(m, Qt, zmin, zmin, divdp_t,
-                                   divdp_proj_t, (u_t, v_t), dt2, 0)
-    Qt2, qmin, qmax = euler_step_t(m, Qt1, qmin, qmax, divdp_t,
-                                   divdp_proj_t, (u_t, v_t), dt2, 1)
-    Qt3, qmin, qmax = euler_step_t(m, Qt2, qmin, qmax, divdp_t,
-                                   divdp_proj_t, (u_t, v_t), dt2, 2)
-    return (Qt + 2.0 * Qt3) / 3.0, divdp_proj_t
+    return advect_rk2_t_parts(m, Qt, (u_t, v_t), divdp_t, divdp_proj_t,
+                              dt_q)
 
 
 def vertical_remap_t(m: Model, Qt, divdp_proj_t, dt_remap):
@@ -341,7 +353,12 @@ def vertical_remap_t(m: Model, Qt, divdp_proj_t, dt_remap):
     dp_ref = ((m.hyai[1:] - m.hyai[:-1])[None, None, :] * P0
               + (m.hybi[1:] - m.hybi[:-1])[None, None, :]
               * ps_v[..., None])
-    min_dp = m.tables.global_min(dp_star.min())
+    # health channel: negative layer thickness (reference abort, :1323)
+    # OR the fast-path displacement window exceeded (ops/ppm.py
+    # ppm_fast_margin) — either < 0 aborts in the driver
+    from ..ops.ppm import ppm_fast_margin
+    min_dp = m.tables.global_min(
+        jnp.minimum(dp_star.min(), ppm_fast_margin(dp_star, dp_ref)))
     if m.cfg.use_pallas:
         # VMEM-resident PPM kernel (~2 HBM passes)
         from ..ops.pallas_ppm import remap_q_ppm_pallas_t
@@ -413,7 +430,12 @@ def vertical_remap(m: Model, Qdp, divdp_proj, dt_remap):
     dp_ref = ((m.hyai[1:] - m.hyai[:-1])[None, :, None, None] * P0
               + (m.hybi[1:] - m.hybi[:-1])[None, :, None, None]
               * ps_v[:, None])
-    min_dp = m.tables.global_min(dp_star.min())
+    # health: negative thickness OR fast-path window exceeded (both Pa)
+    from ..ops.ppm import ppm_fast_margin
+    d1 = jnp.moveaxis(dp_star, 1, 3)
+    d2m = jnp.moveaxis(dp_ref, 1, 3)
+    min_dp = m.tables.global_min(
+        jnp.minimum(dp_star.min(), ppm_fast_margin(d1, d2m)))
 
     # column layout for the PPM kernel: [..., Q, nlev]
     Qcol = jnp.moveaxis(Qdp, (1, 2), (3, 4))          # [E,n,n,q,k]
@@ -440,9 +462,30 @@ def make_subcycle_fn(m: Model, diagnostics: bool = False):
     dt = float(cfg.tstep)
     dt_q = float(cfg.dt_tracer)
     dt_remap = float(cfg.dt_remap)
+    # mean-flux weights for RK+LF per qsplit stage (ur_weights,
+    # prim_advance_mod.F90:53-67): vn0 = w(mod(nstep,qsplit)+1) * v * dp.
+    # qsplit=1 (every shipped namelist) gives w = [1].
+    urw = np.zeros(cfg.qsplit)
+    if cfg.qsplit % 2:
+        urw[0] = 1.0 / cfg.qsplit
+        urw[2::2] = 2.0 / cfg.qsplit
+    else:
+        urw[1::2] = 2.0 / cfg.qsplit
+    ur_w = jnp.asarray(urw, cfg.np_dtype)
+
+    def stage_weight(nstep):
+        if cfg.qsplit == 1:
+            return None
+        return ur_w[nstep % cfg.qsplit]
 
     if cfg.use_pallas and cfg.limiter_option == 8 and not diagnostics:
-        # T-layout Pallas pipeline: one relayout in, one out per subcycle
+        # T-layout Pallas pipeline: one relayout in, one out per subcycle.
+        # Winds/divdp/divdp_proj come from the factored basis (built once,
+        # eagerly — a handful of broadcast FMAs per step instead of full
+        # trig re-evaluation; model/wind_basis.py).
+        from .wind_basis import build_wind_basis
+        wb = build_wind_basis(m)
+
         def step_t(Qdp, nstep):
             E = Qdp.shape[0]
             qk = cfg.qsize * cfg.nlev
@@ -450,10 +493,14 @@ def make_subcycle_fn(m: Model, diagnostics: bool = False):
             divdp_proj_t = None
             for _ in range(cfg.rsplit):
                 t_wind = jnp.maximum(nstep - 1, 0).astype(m.lon.dtype) * dt
-                v = dcmip.winds(cfg.test_case, m.lon, m.lat, m.etam,
-                                t_wind)
-                vn0 = v * m.dp0col[None, :, None, None, None]
-                Qt, divdp_proj_t = advect_rk2_t(m, Qt, vn0, dt_q)
+                (_, _, un0_t, vn0_t, divdp_t,
+                 divdp_proj_t) = wb.eval(t_wind)
+                w = stage_weight(nstep)
+                if w is not None:
+                    un0_t, vn0_t = un0_t * w, vn0_t * w
+                    divdp_t, divdp_proj_t = divdp_t * w, divdp_proj_t * w
+                Qt, divdp_proj_t = advect_rk2_t_parts(
+                    m, Qt, (un0_t, vn0_t), divdp_t, divdp_proj_t, dt_q)
                 nstep = nstep + 1
             Qt, ps_v, min_dp = vertical_remap_t(m, Qt, divdp_proj_t,
                                                 dt_remap)
@@ -468,6 +515,9 @@ def make_subcycle_fn(m: Model, diagnostics: bool = False):
             t_wind = jnp.maximum(nstep - 1, 0).astype(m.lon.dtype) * dt
             v = dcmip.winds(cfg.test_case, m.lon, m.lat, m.etam, t_wind)
             vn0 = v * m.dp0col[None, :, None, None, None]
+            w = stage_weight(nstep)
+            if w is not None:
+                vn0 = vn0 * w
             if diagnostics:
                 eta = dcmip.eta_dot_dpdn(cfg.test_case, m.lon, m.lat,
                                          m.etai, t_wind)[:, :cfg.nlev]

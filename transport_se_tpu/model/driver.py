@@ -109,8 +109,10 @@ def run_simulation(cfg: Config, model: Optional[Model] = None,
         if check:
             if float(min_dp) < 0:
                 raise RuntimeError(
-                    "negative layer thickness. timestep or remap time too "
-                    "large (prim_advection_mod.F90:1323)")
+                    "negative layer thickness or PPM fast-path interface "
+                    "displacement > 2 cells. timestep or remap time too "
+                    "large (prim_advection_mod.F90:1323; ops/ppm.py "
+                    "ppm_fast_margin)")
             dp_ref = reference_dp(m, ps_v)
             Q = Qdp / dp_ref[:, None]
             mass, var, qmn, qmx = tracer_diagnostics(m, Qdp, Q)

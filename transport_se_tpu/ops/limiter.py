@@ -89,6 +89,46 @@ def limiter_optim_iter_full(ptens, sphweights, minp, maxp, dpmass):
     return ptens_out, minp, maxp
 
 
+def limiter2d_minmax(qdp, dp, spheremp, qmin, qmax):
+    """Mass-conserving min/max limiter over each element level
+    (prim_advection_mod.F90:1100 `limiter2d_minmax`, limiter_option 4).
+
+    Defined-but-uncalled in the reference's shipped CPU euler_step (only
+    option 8 dispatches there, :858); provided for capability parity.
+
+    Args: qdp/dp/spheremp [..., n2]; qmin/qmax [...].
+    Returns limited qdp (same total mass per level).
+    """
+    c = dp * spheremp
+    q = qdp / dp
+    mass = jnp.sum(qdp * spheremp, axis=-1)
+    area = jnp.sum(c, axis=-1)
+
+    def one_pass(q, bound, excess_mass, toward_bound):
+        """Shared clip-and-rescale: toward_bound=+1 applies the max pass
+        on (bound - q), -1 the min pass on (q - bound)."""
+        work = toward_bound * (bound[..., None] - q)
+        s = jnp.where(excess_mass < 0, -1.0, 1.0)
+        w = work * s[..., None]
+        wpos = jnp.maximum(w, 0.0)
+        mass_new = jnp.sum(wpos * c, axis=-1)
+        scale = jnp.where(mass_new > 0,
+                          jnp.abs(excess_mass)
+                          / jnp.where(mass_new > 0, mass_new, 1.0), 1.0)
+        w = wpos * scale[..., None] * s[..., None]
+        return bound[..., None] - toward_bound * w
+
+    # max pass (original mass; the pass itself conserves it)
+    over = q.max(axis=-1) > qmax
+    q = jnp.where(over[..., None],
+                  one_pass(q, qmax, area * qmax - mass, 1.0), q)
+    # min pass reads the updated q but the top-of-routine mass (:1159)
+    under = q.min(axis=-1) < qmin
+    q = jnp.where(under[..., None],
+                  one_pass(q, qmin, mass - area * qmin, -1.0), q)
+    return q * dp
+
+
 def limiter2d_zero(qdp_weighted):
     """Mass-conserving zero limiter over each element level
     (prim_advection_mod.F90:1188 `limiter2d_zero`).  Input is spheremp*Qdp

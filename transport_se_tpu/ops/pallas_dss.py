@@ -245,8 +245,8 @@ def _minmax_kernel(nq, x_ref, dp_ref, qmin_ref, qmax_ref):
     dp = dp_ref[...]
     dp_lane = jnp.concatenate([dp] * nq, axis=-1)
     q = x / dp_lane
-    qmin_ref[...] = q.min(axis=1)
-    qmax_ref[...] = q.max(axis=1)
+    qmin_ref[...] = q.min(axis=1, keepdims=True)
+    qmax_ref[...] = q.max(axis=1, keepdims=True)
 
 
 def minmax_prep_pallas(x_t, dp, nq, interpret=None):
@@ -270,14 +270,15 @@ def minmax_prep_pallas(x_t, dp, nq, interpret=None):
                       memory_space=pltpu.VMEM)
     bdp = pl.BlockSpec((eb, nn, nlev), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
-    bmm = pl.BlockSpec((eb, B), lambda i: (i, 0),
+    bmm = pl.BlockSpec((eb, 1, B), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    qmin, qmax = pl.pallas_call(
         kernel,
         grid=(E // eb,),
         in_specs=[bx, bdp],
         out_specs=(bmm, bmm),
-        out_shape=(jax.ShapeDtypeStruct((E, B), f),
-                   jax.ShapeDtypeStruct((E, B), f)),
+        out_shape=(jax.ShapeDtypeStruct((E, 1, B), f),
+                   jax.ShapeDtypeStruct((E, 1, B), f)),
         interpret=interpret,
     )(x_t, dp.astype(f))
+    return qmin[:, 0], qmax[:, 0]

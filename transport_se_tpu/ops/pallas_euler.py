@@ -205,7 +205,12 @@ def _euler_kernel(nq, dt, rhs_viss, bih_mode, nu_coef,
     maxp = jnp.where(mass > maxp * safe_sumc, mass / safe_sumc, maxp)
     qmin_out_ref[...] = minp
     qmax_out_ref[...] = maxp
-    tol = TOL_LIMITER * jnp.abs(mass)
+    # convergence tolerance: the reference's 5e-14 (f64,
+    # prim_advection_mod.F90:1009) is below f32 resolution — an f32 column
+    # that ever clips keeps roundoff-level addmass (~1e-7*mass) forever
+    # and would run all 15 iterations; use a few-ulp f32 tolerance instead
+    tol_rel = TOL_LIMITER if f == jnp.float64 else 4e-7
+    tol = jnp.asarray(tol_rel, f) * jnp.abs(mass)
 
     def body(state):
         # No separate `done` mask: a converged column has addmass == 0

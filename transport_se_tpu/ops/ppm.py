@@ -231,6 +231,32 @@ def remap_q_ppm(qdp, dp1, dp2, alg: int = 0):
                     prepend=jnp.zeros_like(massn[..., :1]))
 
 
+def ppm_fast_margin(dp1, dp2):
+    """Safety margin (Pa) of the bounded-shift fast path.
+
+    The fast path (and the Pallas kernel) finds each new interface within
+    source cells k-1..k+3, i.e. interface displacements of -2..+2 cells;
+    the reference's walking search is unbounded
+    (prim_advection_mod.F90:159-173), so exceeding the window would
+    silently misplace mass.  Returns min over all interfaces of the
+    distance from the target interface to the window edges — negative
+    means the fast path is invalid and the run must abort (the driver
+    folds this into the negative-layer-thickness health check).
+
+    dp1: [..., nlev] source (Lagrangian) widths; dp2: target widths.
+    """
+    nlev = dp1.shape[-1]
+    zeros = jnp.zeros_like(dp1[..., :1])
+    pio = jnp.concatenate([zeros, jnp.cumsum(dp1, axis=-1)], axis=-1)
+    pin = jnp.concatenate([zeros, jnp.cumsum(dp2, axis=-1)], axis=-1)
+    pin = pin.at[..., -1].set(pio[..., -1])
+    tgt = pin[..., 1:-1]                    # interior interfaces j=0..K-2
+    idx = jnp.arange(nlev - 1)
+    lo = pio[..., jnp.maximum(idx - 1, 0)]            # pio[j-1]
+    hi = pio[..., jnp.minimum(idx + 4, nlev)]         # pio[j+4]
+    return jnp.minimum(tgt - lo, hi - tgt).min()
+
+
 def remap_q_ppm_general(qdp, dp1, dp2, alg: int = 0):
     """Search-based cell location (handles deformation of many cells);
     reference/testing path."""
