@@ -230,12 +230,19 @@ def _tp_back(x_t, shape):
 
 def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
                  dt, rhs_multiplier: int):
-    """euler_step in T layout.  Qt [E,16,qk]; divdp/uv [E,16,k];
-    qmin/qmax [E,1,qk].  Returns (Qt', qmin', qmax')."""
+    """euler_step in T layout.  Qt [E,16,L]; divdp/uv [E,16,k];
+    qmin/qmax [E,1,L].  L is qk = qsize*nlev, possibly 128-padded
+    (lane padding carries zeros end to end so the Pallas DSS needs no
+    pad/unpad round trips).  Returns (Qt', qmin', qmax')."""
     cfg = m.cfg
-    E, _, qk = Qt.shape
+    E, _, L = Qt.shape
     nq = cfg.qsize
     nk = cfg.nlev
+    qk = nq * nk
+
+    def pad_l(x):
+        return x if L == qk else jnp.pad(
+            x, ((0, 0), (0, 0), (0, L - qk)))
     arrays = dict(Dinv=m.Dinv, metdet=m.metdet, rmetdet=m.rmetdet,
                   spheremp=m.spheremp, deriv=m.grid.deriv)
 
@@ -244,13 +251,15 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
     rsp16 = m.rspheremp.reshape(E, 16)
 
     qmin_l, qmax_l = m.tables.minmax_prep(Qt, dp_t, nq)      # [E, qk]
-    qmin_l = qmin_l[:, None]                                 # [E,1,qk]
-    qmax_l = qmax_l[:, None]
+    qmin_l = pad_l(qmin_l[:, None])                          # [E,1,L]
+    qmax_l = pad_l(qmax_l[:, None])
 
     def nbr_minmax(a_min, a_max):
         gmin, gmax = m.tables.neighbor_minmax(
-            a_min.reshape(E, nq, nk), a_max.reshape(E, nq, nk))
-        return gmin.reshape(E, 1, qk), gmax.reshape(E, 1, qk)
+            a_min[..., :qk].reshape(E, nq, nk),
+            a_max[..., :qk].reshape(E, nq, nk))
+        return (pad_l(gmin.reshape(E, 1, qk)),
+                pad_l(gmax.reshape(E, 1, qk)))
 
     rhs_viss = 0
     bih_t = None
@@ -270,6 +279,9 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
             from ..ops.pallas_euler import laplace_wk_t
             dp_rep = jnp.broadcast_to(dp_t[:, :, None, :],
                                       (E, 16, nq, nk)).reshape(E, 16, qk)
+            if L != qk:
+                dp_rep = jnp.concatenate(
+                    [dp_rep, jnp.ones((E, 16, L - qk), Qt.dtype)], axis=-1)
             Q_t = Qt / dp_rep
             bih_t = m.tables.dss_scale_t(laplace_wk_t(Q_t, arrays), rsp16)
             bih_mode = 2
@@ -490,6 +502,11 @@ def make_subcycle_fn(m: Model, diagnostics: bool = False):
             E = Qdp.shape[0]
             qk = cfg.qsize * cfg.nlev
             Qt = _tp(Qdp, E, qk)
+            # face mode: pad lanes to a 128 multiple once per subcycle so
+            # every kernel and the Pallas DSS stream at native tile width
+            qkp = -(-qk // 128) * 128
+            if m.tables.mode == "face" and qkp != qk:
+                Qt = jnp.pad(Qt, ((0, 0), (0, 0), (0, qkp - qk)))
             divdp_proj_t = None
             for _ in range(cfg.rsplit):
                 t_wind = jnp.maximum(nstep - 1, 0).astype(m.lon.dtype) * dt
@@ -502,6 +519,7 @@ def make_subcycle_fn(m: Model, diagnostics: bool = False):
                 Qt, divdp_proj_t = advect_rk2_t_parts(
                     m, Qt, (un0_t, vn0_t), divdp_t, divdp_proj_t, dt_q)
                 nstep = nstep + 1
+            Qt = Qt[:, :, :qk]
             Qt, ps_v, min_dp = vertical_remap_t(m, Qt, divdp_proj_t,
                                                 dt_remap)
             return _tp_back(Qt, Qdp.shape), ps_v, nstep, min_dp

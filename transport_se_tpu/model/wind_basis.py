@@ -101,12 +101,15 @@ def build_wind_basis(m) -> WindBasis:
     """
     cfg = m.cfg
     dt = cfg.np_dtype
-    E = m.grid.nelem
-    lon = np.asarray(m.grid.lon, np.float64).reshape(E, 16)
-    lat = np.asarray(m.grid.lat, np.float64).reshape(E, 16)
+    # m.lon/m.lat so the basis also builds per-shard inside shard_map
+    # (where the element axis is the local slice); jnp throughout the 2D
+    # fields keeps this traceable
+    E = m.lon.shape[0]
+    lon = m.lon.reshape(E, 16)
+    lat = m.lat.reshape(E, 16)
     etam = np.asarray(m.hv.etam, np.float64)
     K = etam.shape[0]
-    zeros = np.zeros((E, 16))
+    zeros = jnp.zeros((E, 16), lon.dtype)
     ones_k = np.ones(K)
 
     if cfg.test_case == "dcmip1-1":
@@ -120,18 +123,19 @@ def build_wind_basis(m) -> WindBasis:
         F = -np.exp((plim - P0) / bsp) + np.exp((ptop - plim) / bsp)
         K0 = dcmip.K0_11
         terms = [
-            (dcmip.U0_11 * np.cos(lat), zeros, ones_k, lambda t: 1.0 + 0 * t),
-            (0.5 * K0 * np.sin(2 * lat), zeros, ones_k,
+            (dcmip.U0_11 * jnp.cos(lat), zeros, ones_k,
+             lambda t: 1.0 + 0 * t),
+            (0.5 * K0 * jnp.sin(2 * lat), zeros, ones_k,
              lambda t: jnp.cos(PI * t / tau)),
-            (-0.5 * K0 * np.sin(2 * lat) * np.cos(2 * lon),
-             K0 * np.cos(lat) * np.sin(2 * lon), ones_k,
+            (-0.5 * K0 * jnp.sin(2 * lat) * jnp.cos(2 * lon),
+             K0 * jnp.cos(lat) * jnp.sin(2 * lon), ones_k,
              lambda t: jnp.cos(PI * t / tau) * jnp.cos(2 * om * t)),
-            (-0.5 * K0 * np.sin(2 * lat) * np.sin(2 * lon),
-             -K0 * np.cos(lat) * np.cos(2 * lon), ones_k,
+            (-0.5 * K0 * jnp.sin(2 * lat) * jnp.sin(2 * lon),
+             -K0 * jnp.cos(lat) * jnp.cos(2 * lon), ones_k,
              lambda t: jnp.cos(PI * t / tau) * jnp.sin(2 * om * t)),
-            (C * np.cos(lat) ** 2 * np.cos(lon), zeros, F,
+            (C * jnp.cos(lat) ** 2 * jnp.cos(lon), zeros, F,
              lambda t: jnp.cos(om * t) ** 2),
-            (C * np.cos(lat) ** 2 * np.sin(lon), zeros, F,
+            (C * jnp.cos(lat) ** 2 * jnp.sin(lon), zeros, F,
              lambda t: jnp.sin(om * t) * jnp.cos(om * t)),
         ]
     elif cfg.test_case == "dcmip1-2":
@@ -142,9 +146,9 @@ def build_wind_basis(m) -> WindBasis:
         hstar = np.minimum(height / dcmip.ZTOP_12, 1.0)
         B = rho_ratio * np.cos(PI * hstar)
         A = -(REARTH * dcmip.W0_12 * PI) / (dcmip.K_12 * dcmip.ZTOP_12) \
-            * np.cos(lat) * np.sin(dcmip.K_12 * lat)
+            * jnp.cos(lat) * jnp.sin(dcmip.K_12 * lat)
         terms = [
-            (dcmip.U0_12 * np.cos(lat), zeros, ones_k,
+            (dcmip.U0_12 * jnp.cos(lat), zeros, ones_k,
              lambda t: 1.0 + 0 * t),
             (zeros, A, B, lambda t: jnp.cos(PI * t / tau)),
         ]
@@ -160,15 +164,15 @@ def build_wind_basis(m) -> WindBasis:
     sp16 = m.spheremp.reshape(E, 16, 1)
     rsp16 = m.rspheremp.reshape(E, 16)
     for (u2, v2, fk, tf) in terms:
-        vfield = jnp.asarray(
-            np.stack([u2.reshape(E, 1, 4, 4), v2.reshape(E, 1, 4, 4)],
-                     axis=2), dt)                      # [E, 1, 2, 4, 4]
+        vfield = jnp.stack(
+            [u2.reshape(E, 1, 4, 4), v2.reshape(E, 1, 4, 4)],
+            axis=2).astype(dt)                         # [E, 1, 2, 4, 4]
         g2d = so.divergence_sphere(vfield, m.deriv, m.Dinv, m.metdet,
                                    m.rmetdet)          # [E, 1, 4, 4]
         g2d_t = jnp.moveaxis(g2d.reshape(E, 1, 16), 1, 2)  # [E, 16, 1]
         gp2d_t = m.tables.dss_scale_t(g2d_t * sp16, rsp16)
         u2d_l.append(jnp.asarray(u2, dt))
-        v2d_l.append(jnp.asarray(v2, dt))
+        v2d_l.append(jnp.asarray(v2, dt))  # zeros broadcast fine
         fk_l.append(jnp.asarray(fk, dt))
         g2d_l.append(g2d_t[:, :, 0])
         gp2d_l.append(gp2d_t[:, :, 0])

@@ -219,6 +219,11 @@ def neighbor_minmax_face(qmin, qmax, ft: FaceTables):
     """
     ne = ft.ne
     E = qmin.shape[0]
+    orig_shape = qmin.shape
+    # flatten trailing batch dims: one big lane axis keeps the TPU layout
+    # dense (a trailing (q, k) pair would tile-pad both axes)
+    qmin = qmin.reshape(E, -1)
+    qmax = qmax.reshape(E, -1)
     bshape = qmin.shape[1:]
 
     def reduce_one(q, op, pad):
@@ -270,4 +275,4 @@ def neighbor_minmax_face(qmin, qmax, ft: FaceTables):
 
     gmin = reduce_one(qmin, jnp.minimum, jnp.inf)
     gmax = reduce_one(qmax, jnp.maximum, -jnp.inf)
-    return gmin, gmax
+    return gmin.reshape(orig_shape), gmax.reshape(orig_shape)

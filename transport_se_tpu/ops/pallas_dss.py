@@ -235,13 +235,14 @@ def dss_face_pallas(x_t, ft, rsp=None, dp=None, nlev=None, interpret=None):
 # limiter-bound preparation: per-element min/max of Q = Qdp/dp
 # ---------------------------------------------------------------------------
 
-def _minmax_kernel(nq, x_ref, dp_ref, qmin_ref, qmax_ref):
+def _minmax_kernel(nq, B, x_ref, dp_ref, qmin_ref, qmax_ref):
     """qmin/qmax over the 16 GLL points of Q = x/dp (euler_step :750-778).
 
     dp [eb, 16, nlev] is tiled along lanes in VMEM (lanes = (tracer,
-    level), level minor) — no HBM-side repeat, no lane reshape.
+    level), level minor) — no HBM-side repeat, no lane reshape.  The x
+    operand may carry 128-padded lanes beyond B; they are sliced off.
     """
-    x = x_ref[...]                       # [eb, 16, B]
+    x = x_ref[...][:, :, :B]             # [eb, 16, B]
     dp = dp_ref[...]
     dp_lane = jnp.concatenate([dp] * nq, axis=-1)
     q = x / dp_lane
@@ -258,15 +259,16 @@ def minmax_prep_pallas(x_t, dp, nq, interpret=None):
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    E, nn, B = x_t.shape
+    E, nn, Bp = x_t.shape
     nlev = dp.shape[-1]
-    if B != nq * nlev:
-        raise ValueError("B must equal nq*nlev")
+    B = nq * nlev
+    if Bp < B:
+        raise ValueError("x_t lanes must cover nq*nlev")
     f = x_t.dtype
-    cap = max(1, 1_500_000 // (nn * B * 4))
+    cap = max(1, 1_500_000 // (nn * Bp * 4))
     eb = max(d for d in range(1, min(E, 64) + 1) if E % d == 0 and d <= cap)
-    kernel = functools.partial(_minmax_kernel, nq)
-    bx = pl.BlockSpec((eb, nn, B), lambda i: (i, 0, 0),
+    kernel = functools.partial(_minmax_kernel, nq, B)
+    bx = pl.BlockSpec((eb, nn, Bp), lambda i: (i, 0, 0),
                       memory_space=pltpu.VMEM)
     bdp = pl.BlockSpec((eb, nn, nlev), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)

@@ -55,6 +55,17 @@ def _repeat_lanes(x, q):
     return pltpu.repeat(x, q, axis=x.ndim - 1)
 
 
+def _rep_to(x, L):
+    """[..., 16, k] -> [..., 16, L] by lane tiling + slice: the tracer
+    broadcast for (possibly 128-padded) lane widths L >= k."""
+    k = x.shape[-1]
+    if L == k:
+        return x
+    t = -(-L // k)
+    y = pltpu.repeat(x, t, axis=x.ndim - 1)
+    return y if t * k == L else y[..., :L]
+
+
 # ---------------------------------------------------------------------------
 # Point-axis spectral derivatives as sublane rolls (VPU).
 #
@@ -132,7 +143,9 @@ def _euler_kernel(nq, dt, rhs_viss, bih_mode, nu_coef,
     cyj = cy_ref[:]
     masks = mask_ref[:]
 
-    qdp = qdp_ref[...]                 # [eb, 16, qk] (point-major layout)
+    qdp = qdp_ref[...]                 # [eb, 16, L] (point-major; L may
+                                       #  be the 128-padded lane width)
+    L = qdp.shape[-1]
 
     # all 7 per-element metric vectors arrive packed as one [eb,7,16]
     # block (one DMA instead of seven tiny ones)
@@ -152,14 +165,14 @@ def _euler_kernel(nq, dt, rhs_viss, bih_mode, nu_coef,
     dpk = dp_ref[...]                  # [eb, 16, k]
     divk = divdp_ref[...]
     rcp_dpk = one / dpk
-    u = _repeat_lanes(u_ref[...] * rcp_dpk, nq)  # Vstar zonal  [eb,16,qk]
-    v = _repeat_lanes(v_ref[...] * rcp_dpk, nq)  # Vstar meridional
+    u = _rep_to(u_ref[...] * rcp_dpk, L)  # Vstar zonal  [eb,16,L]
+    v = _rep_to(v_ref[...] * rcp_dpk, L)  # Vstar meridional
     dp_star_k = dpk - jnp.asarray(dt, f) * divk
     c_k = spheremp * dp_star_k                   # [eb, 16, k]
     sumc_k = jnp.sum(c_k, axis=-2, keepdims=True)
-    c = _repeat_lanes(c_k, nq)                   # [eb, 16, qk]
-    rcp_star = _repeat_lanes(one / dp_star_k, nq)
-    dp_star = _repeat_lanes(dp_star_k, nq)
+    c = _rep_to(c_k, L)                          # [eb, 16, L]
+    rcp_star = _rep_to(one / dp_star_k, L)
+    dp_star = _rep_to(dp_star_k, L)
 
     gu = u * qdp                       # gradQ components
     gv = v * qdp
@@ -197,7 +210,7 @@ def _euler_kernel(nq, dt, rhs_viss, bih_mode, nu_coef,
     minp = qmin_ref[...]               # [eb, 1, qk]
     maxp = qmax_ref[...]
 
-    sumc = _repeat_lanes(sumc_k, nq)
+    sumc = _rep_to(sumc_k, L)
     mass = jnp.sum(c * x, axis=-2, keepdims=True)
     validf = (sumc > 0).astype(f)
     safe_sumc = jnp.where(sumc > 0, sumc, one)
@@ -346,8 +359,8 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
         interpret = jax.default_backend() == "cpu"
     if transposed:
         E = Qdp.shape[0]
-        qk = Qdp.shape[2]
-        nk = qk // nq
+        qk = Qdp.shape[2]            # lane width; may be 128-padded
+        nk = dp.shape[-1]
     else:
         E, nq, nk = Qdp.shape[:3]
         qk = nq * nk
@@ -355,10 +368,12 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
     deriv_np = np.asarray(model_arrays["deriv"])
     cx, cy = _roll_coeffs(deriv_np, transpose=False)
     cxt, cyt = _roll_coeffs(deriv_np, transpose=True)
+    L = Qdp.shape[-1] if transposed else qk
     if dp0 is not None:
-        dp0lane = jnp.tile(jnp.asarray(dp0, f), nq).reshape(1, qk)
+        reps = -(-L // nk)
+        dp0lane = jnp.tile(jnp.asarray(dp0, f), reps)[:L].reshape(1, L)
     else:
-        dp0lane = jnp.zeros((1, qk), f)
+        dp0lane = jnp.zeros((1, L), f)
 
     Dinv = model_arrays["Dinv"]        # [E, 4, 4, 2, 2]
     flat = lambda a: a.reshape(E, 1, N2)
