@@ -185,3 +185,36 @@ def test_namelist_rejects_unsupported():
     with pytest.raises(NotImplementedError):
         config_from_namelist(REF_NL.replace("filter_freq       = 0",
                                             "filter_freq       = 4"))
+
+
+def test_history_due_matches_reference_nextoutputstep():
+    """due(nstep) must fire exactly when the reference main loop would:
+    prim_main runs subcycles until nstep >= nextoutputstep = n + f -
+    mod(n, f) then writes (common_movie_mod.F90:167-189)."""
+    from transport_se_tpu.io.history import HistoryWriter
+
+    class C:  # minimal cfg stub
+        tstep = 100.0
+
+    for freq, rsplit, nend in [(5, 3, 99), (7, 3, 99), (6, 4, 96),
+                               (10, 3, 99), (4, 4, 100), (3, 2, 100),
+                               (1, 3, 30)]:
+        C.rsplit = rsplit
+        h = HistoryWriter.__new__(HistoryWriter)
+        h.output_frequency = freq
+        h.output_timeunits = 0
+        # reference loop: nextoutputstep capped at nEndStep (:173), so
+        # the final state is always written
+        ref_outs = []
+        n = 0
+        while n < nend:
+            target = min(n + freq - (n % freq), nend)
+            while n < target:
+                n += rsplit
+            ref_outs.append(n)
+        # driver analog: due() plus the forced final write
+        got = [s for s in range(rsplit, nend + rsplit, rsplit)
+               if h.due(s, C) or s + rsplit > nend]
+        got = sorted(set(got))
+        assert got == sorted(set(ref_outs)), (freq, rsplit, got[:9],
+                                              ref_outs[:9])

@@ -184,12 +184,27 @@ class StateLog:
     masses: list = dataclasses.field(default_factory=list)
     variances: list = dataclasses.field(default_factory=list)
 
-    def record(self, nstep, mass, var, qmin, qmax, dt, verbose=True):
+    def record(self, nstep, mass, var, qmin, qmax, dt, verbose=True,
+               prev=None):
+        """One printstate line per tracer.
+
+        `prev` = (mass, var) at the diagnosed subcycle's START — the
+        reference's half-time-1 sample, so "Q diss" is
+        (Qmass(2)-Qmass(1))/dt with dt = one tracer step
+        (prim_state_mod.F90:381; half-times collapse pairwise on the RK2
+        path).  Without prev, falls back to the previous record.
+        """
         mass = np.asarray(mass)
         var = np.asarray(var)
         if verbose:
             for q in range(mass.size):
-                if self.masses:
+                if prev is not None:
+                    m0, v0 = np.asarray(prev[0]), np.asarray(prev[1])
+                    dm = mass[q] - m0[q]
+                    dv = var[q] - v0[q]
+                    print(f"Q{q+1},Q diss, dQ^2/dt: {mass[q]:.14E} kg/m^2 "
+                          f"{dm/dt:15.7E} {dv/dt:15.7E}")
+                elif self.masses:
                     dm = (mass[q] - self.masses[-1][q])
                     dv = (var[q] - self.variances[-1][q])
                     print(f"Q{q+1},Q diss, dQ^2/dt: {mass[q]:.14E} kg/m^2 "

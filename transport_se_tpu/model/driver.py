@@ -97,15 +97,24 @@ def run_simulation(cfg: Config, model: Optional[Model] = None,
     t0 = _time.perf_counter()
     ps_v = None
     for isub in range(n_subcycles):
+        cur_before = int(nstep)
+        check = (not cfg.disable_diagnostics
+                 and ((cur_before + cfg.rsplit) % cfg.statefreq
+                      < cfg.rsplit or isub == n_subcycles - 1))
+        if check:
+            # prim_diag_scalars n=1 sample at subcycle start (the RK2
+            # path makes half-times 1,4 coincide at n0 and 2,3 at np1,
+            # prim_state_mod.F90:573-657 with prim_driver calls :771-835)
+            dp0 = (reference_dp(m, ps_v) if ps_v is not None
+                   else m.dp0col[None, :, None, None])
+            mass0, var0, _, _ = tracer_diagnostics(m, Qdp,
+                                                   Qdp / dp0[:, None])
         with timers.time("prim_run"):
             Qdp, ps_v, nstep, min_dp = step(Qdp, nstep)
             # JAX dispatch is asynchronous; block so the timer measures
             # compute (like the reference's synchronous GPTL regions)
             jax.block_until_ready(Qdp)
         cur = int(nstep)
-        check = (not cfg.disable_diagnostics
-                 and (cur % cfg.statefreq < cfg.rsplit or
-                      isub == n_subcycles - 1))
         if check:
             if float(min_dp) < 0:
                 raise RuntimeError(
@@ -116,9 +125,14 @@ def run_simulation(cfg: Config, model: Optional[Model] = None,
             dp_ref = reference_dp(m, ps_v)
             Q = Qdp / dp_ref[:, None]
             mass, var, qmn, qmx = tracer_diagnostics(m, Qdp, Q)
-            log.record(cur, mass, var, qmn, qmx,
-                       cfg.tstep * cfg.statefreq, verbose)
-        if history is not None and history.due(cur, cfg):
+            # printstate divides the subcycle difference by one tracer
+            # step dt = tstep*qsplit (prim_state_mod.F90:157,381)
+            log.record(cur, mass, var, qmn, qmx, cfg.dt_tracer, verbose,
+                       prev=(mass0, var0))
+        # the reference always writes at the run end: nextoutputstep is
+        # capped at nEndStep (common_movie_mod.F90:173 init to nEndStep)
+        if history is not None and (history.due(cur, cfg)
+                                    or isub == n_subcycles - 1):
             dp_ref = reference_dp(m, ps_v)
             extras = None
             if history.needs_extras():

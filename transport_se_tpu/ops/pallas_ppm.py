@@ -60,105 +60,126 @@ def _rollR(x, n):
 
 def _kernel(nq, nk, alg, csteps,
             qdp_ref, dps_ref, dpr_ref, mask_ref, out_ref):
-    """One element block: qdp [eb,16,qk]; dp_star/dp_ref [eb,16,k]."""
+    """One element block: qdp [eb,16,qk]; dp_star/dp_ref [eb,16,k].
+
+    Structure: every level-only quantity (interface cumsums, the ten PPM
+    width coefficients, the cell-search predicates, z2) is computed at
+    [*, 16, nk] width — nq x cheaper — and tiled to the tracer lanes
+    once.  The per-lane cell selection is a masked sum of cyclic lane
+    rolls (shift -1..+3); the masks already exclude rolls that would
+    cross a tracer-group boundary, so no clamped chains are needed.
+    """
     f = qdp_ref.dtype
     qdp = qdp_ref[...]                 # [eb, 16, qk], k lane-minor
-    dp1k = dps_ref[...]                # [eb, 16, k] source widths
-    dp2k = dpr_ref[...]                # [eb, 16, k] target widths
+    d = dps_ref[...]                   # [eb, 16, nk] source widths
+    dp2k = dpr_ref[...]                # [eb, 16, nk] target widths
     masks = mask_ref[:]                # [8, qk]
-    kidx = masks[7:8]                  # [1, qk] k index within group
+    kidx_q = masks[7:8]                # [1, qk]
+    masks_k = masks[:, :nk]            # level-width copies (period nk)
+    kidx = masks_k[7:8]
     kf = jnp.asarray(float(nk), f)
-
     rep = (lambda a: a) if nq == 1 else \
         (lambda a: pltpu.repeat(a, nq, axis=a.ndim - 1))
-    dp1 = rep(dp1k)                    # [16, qk]
-    dp2 = rep(dp2k)
 
-    def cumsum_k(x):
-        # inclusive cumsum within each k-group of the lane axis
+    def cumsum_k(x, mrows):
         out = x
         for s in range(csteps):
             sh = 1 << s
             if sh >= nk:
                 break
-            out = out + masks[s:s + 1] * _rollR(out, sh)
+            out = out + mrows[s:s + 1] * _rollR(out, sh)
         return out
 
-    def shift1L_clamped(x):
-        rolled = _rollL(x, 1)
-        edge = (kidx >= kf - 1).astype(f)
-        return edge * x + (1.0 - edge) * rolled
+    def mk_shifts(ki):
+        edge_top = (ki >= kf - 1).astype(f)
+        edge_bot = (ki < 1).astype(f)
 
-    def shift1R_clamped(x):
-        rolled = _rollR(x, 1)
-        edge = (kidx < 1).astype(f)
-        return edge * x + (1.0 - edge) * rolled
+        def s1L(x):
+            return edge_top * x + (1.0 - edge_top) * _rollL(x, 1)
 
-    def shiftnL(x, n):
-        for _ in range(n):
-            x = shift1L_clamped(x)
-        return x
+        def s1R(x):
+            return edge_bot * x + (1.0 - edge_bot) * _rollR(x, 1)
 
-    # interfaces: pio[k] = left interface of cell k (exclusive cumsum);
-    # pio_r = right interface
-    pio_r = cumsum_k(dp1)              # pio[k+1]
-    pio_l = pio_r - dp1                # pio[k]
-    pin_r = cumsum_k(dp2)
-    # force identical column totals (:142-144): the last target interface
-    # becomes the source total
+        return s1L, s1R
+
+    s1L, s1R = mk_shifts(kidx)           # level width
+    s1Lq, s1Rq = mk_shifts(kidx_q)       # tracer width
+
+    # ---- interfaces (level width) ----------------------------------------
+    pio_r = cumsum_k(d, masks_k)         # pio[k+1]
+    pio_l = pio_r - d                    # pio[k]
+    pin_r = cumsum_k(dp2k, masks_k)
+    # force identical column totals (:142-144)
     last = (kidx >= kf - 1).astype(f)
     tgt = (1.0 - last) * pin_r + last * pio_r
 
-    # ---- PPM coefficients -------------------------------------------------
+    # ---- PPM width coefficients (level width) ----------------------------
     # Mirrored ghost cells (ao(1-k)=ao(k), dpo(1-k)=dpo(k)) reduce to
-    # clamped 1-2 lane shifts for every INTERIOR quantity, plus exact
-    # edge identities that follow from the mirror symmetry:
-    #   dma(ghost) = 0 exactly — the mirror makes a(j+1)-a(j) = 0 there,
-    #     which triggers the monotone-limiter zero branch;
-    #   with symmetric mirror widths c5*c9 = c5*c10 = 1/6, so
-    #   ai(bottom interface) = a0 - dma0/6   (width-independent)
-    #   ai(top interface)    = aN + dmaN/6
-    ao = qdp / dp1
-    d = dp1
-    a = ao
-    dm1 = shift1R_clamped(d)           # d[j-1], ghost = d[0]  (mirror)
-    dp1_ = shift1L_clamped(d)          # d[j+1], ghost = d[last]
-    am1 = shift1R_clamped(a)
-    ap1 = shift1L_clamped(a)
-
-    # stage 1: dma[j] — clamped shifts equal the mirrored ghosts exactly
+    # clamped 1-2 lane shifts; exact edge identities from the mirror:
+    #   dma(ghost) = 0;  c5*c9 = c5*c10 = 1/6 at the mirror, so
+    #   ai(bottom) = a0 - dma0/6, ai(top) = aN + dmaN/6
+    dm1 = s1R(d)                         # d[j-1], ghost = d[0]
+    dp1_ = s1L(d)                        # d[j+1], ghost = d[last]
     c1 = d / (dm1 + d + dp1_)
     c2 = (2.0 * dm1 + d) / (dp1_ + d)
     c3 = (d + 2.0 * dp1_) / (dm1 + d)
-    da = c1 * (c2 * (ap1 - a) + c3 * (a - am1))
+    djp1 = dp1_
+    djp2 = s1L(dp1_)
+    # second mirror width at the top: dpo(nlev+2) = dpo(nlev-1)
+    djp2 = (1.0 - last) * djp2 + last * s1R(d)
+    c4 = d / (d + djp1)
+    c5 = 1.0 / (dm1 + d + djp1 + djp2)
+    c6 = (2.0 * djp1 * d) / (d + djp1)
+    c7 = (dm1 + d) / (2.0 * d + djp1)
+    c8 = (djp2 + djp1) / (2.0 * djp1 + d)
+    c9 = d * (dm1 + d) / (2.0 * d + djp1)
+    c10 = djp1 * (djp1 + djp2) / (d + 2.0 * djp1)
+    c678 = c5 * c6 * (c7 - c8)
+
+    # ---- cell search (level width): shift s in {-1..3} -------------------
+    up1 = (pio_r <= tgt) & (kidx < kf - 1)
+    up2 = (s1L(pio_r) <= tgt) & up1 & (kidx < kf - 2)
+    up3 = (s1L(s1L(pio_r)) <= tgt) & up2 & (kidx < kf - 3)
+    dn1 = pio_l > tgt
+    f1 = up1.astype(f)
+    f2 = up2.astype(f)
+    f3 = up3.astype(f)
+    fd = dn1.astype(f)
+    # exclusive shift masks: m[s] = 1 where the selected cell is k+s
+    m_m1 = fd * (1.0 - f1)
+    m_0 = (1.0 - fd) * (1.0 - f1)
+    m_1 = f1 - f2
+    m_2 = f2 - f3
+    m_3 = f3
+
+    def sel_k(x):
+        # level-width masked-roll select (rolls stay inside the k group
+        # because the masks exclude boundary shifts)
+        return (m_0 * x + m_1 * _rollL(x, 1) + m_2 * _rollL(x, 2)
+                + m_3 * _rollL(x, 3) + m_m1 * _rollR(x, 1))
+
+    dpo_kk = sel_k(d)
+    pio_kk = sel_k(pio_l)
+    z2 = (tgt - (pio_kk + 0.5 * dpo_kk)) / dpo_kk
+
+    # ---- tracer-dependent part (tracer width) ----------------------------
+    dp1q = rep(d)
+    a = qdp / dp1q
+    am1 = s1Rq(a)
+    ap1 = s1Lq(a)
+    da = rep(c1) * (rep(c2) * (ap1 - a) + rep(c3) * (a - am1))
     dma = jnp.minimum(jnp.minimum(jnp.abs(da), 2.0 * jnp.abs(a - am1)),
                       2.0 * jnp.abs(ap1 - a)) * jnp.sign(da)
     dma = jnp.where((ap1 - a) * (a - am1) <= 0.0, 0.0, dma)
 
-    # stage 2: right-interface value ai(j) of each cell j
-    djm1 = dm1
-    djp1 = dp1_
-    djp2 = shiftnL(d, 2)
-    ajp1 = ap1
-    last2 = last
-    # second mirror width at the top: dpo(nlev+2) = dpo(nlev-1)
-    djp2 = (1.0 - last2) * djp2 + last2 * shift1R_clamped(d)
-    c4 = d / (d + djp1)
-    c5 = 1.0 / (djm1 + d + djp1 + djp2)
-    c6 = (2.0 * djp1 * d) / (d + djp1)
-    c7 = (djm1 + d) / (2.0 * d + djp1)
-    c8 = (djp2 + djp1) / (2.0 * djp1 + d)
-    c9 = d * (djm1 + d) / (2.0 * d + djp1)
-    c10 = djp1 * (djp1 + djp2) / (d + 2.0 * djp1)
-    dma_jp1 = shift1L_clamped(dma)
-    # ghost dma above the top is exactly zero (mirror + limiter)
-    dma_jp1 = (1.0 - last2) * dma_jp1
-    ai_r = a + c4 * (ajp1 - a) + c5 * (c6 * (c7 - c8) * (ajp1 - a)
-                                       - c9 * dma_jp1 + c10 * dma)
-    first = (kidx < 1).astype(f)
-    ai_l = shift1R_clamped(ai_r)
+    lastq = rep(last)
+    dma_jp1 = s1Lq(dma) * (1.0 - lastq)  # ghost dma above the top is 0
+    ai_r = a + rep(c4) * (ap1 - a) + (rep(c678) * (ap1 - a)
+                                      - rep(c5 * c9) * dma_jp1
+                                      + rep(c5 * c10) * dma)
+    first = (kidx_q < 1).astype(f)
     sixth = jnp.asarray(1.0 / 6.0, f)
-    ai_l = first * (a - sixth * dma) + (1.0 - first) * ai_l
+    ai_l = first * (a - sixth * dma) + (1.0 - first) * s1Rq(ai_r)
 
     # stage 3: limited parabola
     al = ai_l
@@ -175,43 +196,33 @@ def _kernel(nq, nk, alg, csteps,
     coef1 = ar - al
     coef2 = -6.0 * a + 3.0 * (al + ar)
     if alg == 2:
-        edge2 = ((kidx < 2) | (kidx >= kf - 2)).astype(f)
+        edge2 = ((kidx_q < 2) | (kidx_q >= kf - 2)).astype(f)
         coef0 = edge2 * a + (1.0 - edge2) * coef0
         coef1 = (1.0 - edge2) * coef1
         coef2 = (1.0 - edge2) * coef2
 
-    # ---- cell search: shift in {-1..3} (displacement -2..+2) ----------
-    masso = cumsum_k(qdp) - qdp        # mass below cell k (exclusive)
-    up1 = (pio_r <= tgt) & (kidx < kf - 1)
-    up2 = (shift1L_clamped(pio_r) <= tgt) & up1 & (kidx < kf - 2)
-    up3 = (shiftnL(pio_r, 2) <= tgt) & up2 & (kidx < kf - 3)
-    dn1 = pio_l > tgt
+    masso = cumsum_k(qdp, masks) - qdp   # mass below cell k (exclusive)
 
-    def sel(x):
-        # chained clamped shifts: L2 = shift(L1), L3 = shift(L2)
-        l1 = shift1L_clamped(x)
-        l2 = shift1L_clamped(l1)
-        l3 = shift1L_clamped(l2)
-        up23 = jnp.where(up3, l3, l2)
-        up = jnp.where(up2, up23, l1)
-        return jnp.where(up1, up,
-                         jnp.where(dn1, shift1R_clamped(x), x))
+    q_m1, q_0 = rep(m_m1), rep(m_0)
+    q_1, q_2, q_3 = rep(m_1), rep(m_2), rep(m_3)
 
-    dpo_kk = sel(dp1)
-    pio_kk = sel(pio_l)
-    pio_kk1 = sel(pio_r)
-    masso_kk = sel(masso)
-    k0 = sel(coef0)
-    k1 = sel(coef1)
-    k2 = sel(coef2)
+    def sel_q(x):
+        return (q_0 * x + q_1 * _rollL(x, 1) + q_2 * _rollL(x, 2)
+                + q_3 * _rollL(x, 3) + q_m1 * _rollR(x, 1))
 
-    z2 = (tgt - 0.5 * (pio_kk + pio_kk1)) / dpo_kk
+    masso_kk = sel_q(masso)
+    k0 = sel_q(coef0)
+    k1 = sel_q(coef1)
+    k2 = sel_q(coef2)
+
+    z2q = rep(z2)
+    dpo_q = rep(dpo_kk)
     x1 = jnp.asarray(-0.5, f)
-    integ = (k0 * (z2 - x1) + k1 * (z2 * z2 - x1 * x1) / 2.0
-             + k2 * (z2 * z2 * z2 - x1 * x1 * x1) / 3.0)
-    massn = masso_kk + integ * dpo_kk          # mass below tgt interface
+    integ = (k0 * (z2q - x1) + k1 * (z2q * z2q - x1 * x1) / 2.0
+             + k2 * (z2q * z2q * z2q - x1 * x1 * x1) / 3.0)
+    massn = masso_kk + integ * dpo_q         # mass below tgt interface
     # qdp_out[k] = massn[k] - massn[k-1] (massn[-1] = 0)
-    prev = shift1R_clamped(massn) * (1.0 - (kidx < 1).astype(f))
+    prev = s1Rq(massn) * (1.0 - first)
     out_ref[...] = massn - prev
 
 
