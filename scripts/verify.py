@@ -34,6 +34,10 @@ def main():
     p.add_argument("--nu_q", type=float, default=None)
     p.add_argument("--pallas", action="store_true",
                    help="run the fused-kernel (T-layout) pipeline")
+    p.add_argument("--dss", default=None,
+                   choices=["gather", "segsum", "face"],
+                   help="DSS mode (default: face when --pallas, "
+                        "else gather)")
     args = p.parse_args()
 
     import jax
@@ -55,9 +59,11 @@ def main():
         {8: 6e16, 30: 1e15, 120: 1e13}[args.ne]
     days = args.days if args.days is not None else \
         (12.0 if args.test == "dcmip1-1" else 1.0)
+    dss = args.dss or ("face" if args.pallas else "gather")
     cfg = Config(ne=args.ne, test_case=args.test, tstep=tstep, ndays=days,
                  qsize=args.qsize, nu_q=nu, dtype=args.dtype,
-                 use_pallas=args.pallas,
+                 use_pallas=args.pallas, dss_mode=dss,
+                 elem_order="raster" if dss == "face" else "gilbert",
                  statefreq=int(12 * 3600 / tstep) * 3)
     print(f"config: {cfg}")
     print(f"steps: {cfg.nsteps}  subcycles: {cfg.nsteps // cfg.rsplit}")

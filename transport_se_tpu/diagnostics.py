@@ -172,9 +172,15 @@ def flow_fields(m, nstep: int):
     div = dss_scale(div, m.spheremp, m.rspheremp, m.tables)
     omega = dcmip.eta_dot_dpdn(cfg.test_case, m.lon, m.lat, m.etam, t)
     T = jnp.full(zeta.shape, T0, zeta.dtype)   # isothermal test atmosphere
+    # ke = (u^2+v^2)/2 (prim_movie_mod.F90:470-481); Th = T*(p/p0)^-kappa
+    # (:422-440) with p = p0*etam in the prescribed-wind tests
+    from .constants import KAPPA
+    ke = 0.5 * (v[:, :, 0] ** 2 + v[:, :, 1] ** 2)
+    Th = T * (m.etam[None, :, None, None] ** (-KAPPA))
     return {"u": np.asarray(v[:, :, 0]), "v": np.asarray(v[:, :, 1]),
             "zeta": np.asarray(zeta), "div": np.asarray(div),
-            "omega": np.asarray(omega), "T": np.asarray(T)}
+            "omega": np.asarray(omega), "T": np.asarray(T),
+            "ke": np.asarray(ke), "Th": np.asarray(Th)}
 
 
 @dataclasses.dataclass

@@ -106,6 +106,15 @@ class HistoryWriter:
         # summed over coincident points = 1/rspheremp)
         area = unique_gather(grid, (1.0 / grid.rspheremp).reshape(-1))
         static("area", ("ncol",), area, "radians^2", "area weights")
+        # geos = surface geopotential phis (prim_movie_mod.F90:372-380);
+        # zero in the DCMIP tests (no orography, dcmip_wrapper sets phis=0)
+        static("geos", ("ncol",), np.zeros_like(area), "m^2/s^2",
+               "surface geopotential")
+        # hypervis = variable-viscosity length-scale field
+        # (prim_movie_mod.F90:357-368); constant-coefficient configs
+        # (every shipped namelist: hypervis_power=0) carry 1.0
+        static("hypervis", ("ncol",), np.ones_like(area), "",
+               "variable hyperviscosity scale")
         static("faceno", ("ncol",),
                unique_gather(grid, np.broadcast_to(
                    grid.face[:, None, None].astype(np.float64),
@@ -118,7 +127,8 @@ class HistoryWriter:
         self._vars = {}
         units = {"geo": "m^2/s^2", "u": "meters/second",
                  "v": "meters/second", "T": "degrees kelvin",
-                 "zeta": "1/s", "div": "1/s", "omega": "Pa/s"}
+                 "zeta": "1/s", "div": "1/s", "omega": "Pa/s",
+                 "ke": "m^2/s^2", "Th": "degrees kelvin"}
         for name in self._expand_tracers(cfg.qsize):
             if name in ("ps",):
                 v = f.createVariable(name, "d", ("time", "ncol"))
@@ -158,7 +168,7 @@ class HistoryWriter:
 
     # time-varying level fields supplied via `extras` (diagnostics.py
     # `flow_fields`): u, v, zeta, div, omega, T
-    EXTRA_FIELDS = ("u", "v", "zeta", "div", "omega", "T")
+    EXTRA_FIELDS = ("u", "v", "zeta", "div", "omega", "T", "ke", "Th")
 
     def needs_extras(self) -> bool:
         return any(n in self._vars for n in self.EXTRA_FIELDS)

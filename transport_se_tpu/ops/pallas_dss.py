@@ -244,7 +244,7 @@ def _minmax_kernel(nq, B, x_ref, dp_ref, qmin_ref, qmax_ref):
     """
     x = x_ref[...][:, :, :B]             # [eb, 16, B]
     dp = dp_ref[...]
-    dp_lane = jnp.concatenate([dp] * nq, axis=-1)
+    dp_lane = pltpu.repeat(dp, nq, axis=2)
     q = x / dp_lane
     qmin_ref[...] = q.min(axis=1, keepdims=True)
     qmax_ref[...] = q.max(axis=1, keepdims=True)

@@ -219,11 +219,12 @@ def _euler_kernel(nq, dt, rhs_viss, bih_mode, nu_coef,
     qmin_out_ref[...] = minp
     qmax_out_ref[...] = maxp
     # convergence tolerance: the reference's 5e-14 (f64,
-    # prim_advection_mod.F90:1009) is below f32 resolution — an f32 column
-    # that ever clips keeps roundoff-level addmass (~1e-7*mass) forever
-    # and would run all 15 iterations; use a few-ulp f32 tolerance instead
-    tol_rel = TOL_LIMITER if f == jnp.float64 else 4e-7
-    tol = jnp.asarray(tol_rel, f) * jnp.abs(mass)
+    # prim_advection_mod.F90:1009).  In f32 this below-resolution value
+    # only passes once addmass underflows to exactly 0 — i.e. the clip
+    # finds nothing outside bounds — which preserves column mass to the
+    # bit (a looser f32 tolerance was tried and drifted total mass by
+    # ~1e-4 relative over a 12-day NE8 run; conservation wins)
+    tol = jnp.asarray(TOL_LIMITER, f) * jnp.abs(mass)
 
     def body(state):
         # No separate `done` mask: a converged column has addmass == 0
@@ -257,10 +258,10 @@ def _euler_kernel(nq, dt, rhs_viss, bih_mode, nu_coef,
     out_ref[...] = spheremp * limited
 
 
-def _laplace_kernel(s_ref, d00_ref, d01_ref, d10_ref, d11_ref,
+def _laplace_kernel(eb, s_ref, d00_ref, d01_ref, d10_ref, d11_ref,
                     spheremp_ref, cx_ref, cy_ref, cxt_ref, cyt_ref,
                     mask_ref, out_ref):
-    """Weak Laplacian in the [16, qk] T layout: one VMEM round trip.
+    """Weak Laplacian in the [eb, 16, qk] T layout: one VMEM round trip.
 
     laplace_sphere_wk = divergence_sphere_wk(gradient_sphere(s))
     (derivative_mod.F90:2418; sphere_ops.py laplace_sphere_wk):
@@ -270,12 +271,13 @@ def _laplace_kernel(s_ref, d00_ref, d01_ref, d10_ref, d11_ref,
       out = -rrearth^2 (ddx^T (sp c1) + ddy^T (sp c2))
     """
     f = s_ref.dtype
-    s = s_ref[0]                       # [16, qk]
-    d00 = d00_ref[0].T                 # [16, 1]
-    d01 = d01_ref[0].T
-    d10 = d10_ref[0].T
-    d11 = d11_ref[0].T
-    spheremp = spheremp_ref[0].T
+    s = s_ref[...]                     # [eb, 16, qk]
+    sw = lambda r: jnp.swapaxes(r[...], -1, -2)   # [eb, 16, 1]
+    d00 = sw(d00_ref)
+    d01 = sw(d01_ref)
+    d10 = sw(d10_ref)
+    d11 = sw(d11_ref)
+    spheremp = sw(spheremp_ref)
     cxj = cx_ref[:]
     cyj = cy_ref[:]
     cxtj = cxt_ref[:]
@@ -289,29 +291,31 @@ def _laplace_kernel(s_ref, d00_ref, d01_ref, d10_ref, d11_ref,
     c1 = (d00 * g1 + d01 * g2) * spheremp
     c2 = (d10 * g1 + d11 * g2) * spheremp
     t = _ddx_rolls(c1, cxtj) + _ddy_rolls(c2, cytj, masks)
-    out_ref[0] = -jnp.asarray(RREARTH * RREARTH, f) * t
+    out_ref[...] = -jnp.asarray(RREARTH * RREARTH, f) * t
 
 
-def laplace_wk_t(s_t, model_arrays, interpret=None):
+def laplace_wk_t(s_t, model_arrays, interpret=None, eb=4):
     """Weak Laplacian on T-layout fields s_t [E, 16, B] (B = q*k lanes)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     E, _, B = s_t.shape
     f = s_t.dtype
+    if E % eb:
+        eb = 1
     deriv = np.asarray(model_arrays["deriv"])
     cx, cy = _roll_coeffs(deriv, transpose=False)
     cxt, cyt = _roll_coeffs(deriv, transpose=True)
     Dinv = model_arrays["Dinv"]
     flat = lambda a: a.reshape(E, 1, N2)
-    be = lambda s2: pl.BlockSpec((1, N2, s2), lambda e: (e, 0, 0),
+    be = lambda s2: pl.BlockSpec((eb, N2, s2), lambda e: (e, 0, 0),
                                  memory_space=pltpu.VMEM)
-    bmet = pl.BlockSpec((1, 1, N2), lambda e: (e, 0, 0),
+    bmet = pl.BlockSpec((eb, 1, N2), lambda e: (e, 0, 0),
                         memory_space=pltpu.VMEM)
     bcoef = lambda w: pl.BlockSpec((N2, w), lambda e: (0, 0),
                                    memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _laplace_kernel,
-        grid=(E,),
+        functools.partial(_laplace_kernel, eb),
+        grid=(E // eb,),
         in_specs=[be(B), bmet, bmet, bmet, bmet, bmet,
                   bcoef(4), bcoef(4), bcoef(4), bcoef(4), bcoef(4)],
         out_specs=be(B),
