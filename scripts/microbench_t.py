@@ -22,7 +22,7 @@ divdp_t = _tp(divdp, E, nk)
 u_t = _tp(vn0[:,:,0], E, nk); v_t = _tp(vn0[:,:,1], E, nk)
 arrays = dict(Dinv=m.Dinv, metdet=m.metdet, rmetdet=m.rmetdet,
               spheremp=m.spheremp, deriv=m.grid.deriv)
-zmin = jnp.zeros((E,1,qk), Qt.dtype)
+zmin = jnp.zeros((E,qk), Qt.dtype)
 
 def bench(name, fn, *args, n=5):
     f = jax.jit(fn)

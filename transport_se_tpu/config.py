@@ -48,7 +48,8 @@ class Config:
     dtype: str = "f64"            # f64 (verification) | f32 (TPU perf)
     use_pallas: bool = False      # Pallas TPU kernels for the hot ops
                                   # (limiter); CPU/interpret fallback off
-    pallas_eb: int = 4            # elements per fused-kernel invocation
+    pallas_eb: int = 8            # elements per fused-kernel invocation
+                                  # (multiples of 8: Mosaic 2D-block rule)
     dss_mode: str = "gather"      # gather (BFB partner order) | segsum
                                   # (scatter-add, roundoff reassociation) |
                                   # face (shifted-slice assembly, fastest;

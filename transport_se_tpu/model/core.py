@@ -229,11 +229,17 @@ def _tp_back(x_t, shape):
 
 
 def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
-                 dt, rhs_multiplier: int):
+                 dt, rhs_multiplier: int, pre_minmax=None, next_dp=None,
+                 next_lap=False, pre_lap=None):
     """euler_step in T layout.  Qt [E,16,L]; divdp/uv [E,16,k];
     qmin/qmax [E,1,L].  L is qk = qsize*nlev, possibly 128-padded
     (lane padding carries zeros end to end so the Pallas DSS needs no
-    pad/unpad round trips).  Returns (Qt', qmin', qmax')."""
+    pad/unpad round trips).
+
+    pre_minmax: this stage's per-element bound prep, if the previous
+    stage's fused DSS epilogue already produced it.  next_dp [E,16,k]:
+    compute the NEXT stage's bound prep in this stage's DSS epilogue.
+    Returns (Qt', qmin', qmax', next_minmax-or-None)."""
     cfg = m.cfg
     E, _, L = Qt.shape
     nq = cfg.qsize
@@ -241,8 +247,9 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
     qk = nq * nk
 
     def pad_l(x):
-        return x if L == qk else jnp.pad(
-            x, ((0, 0), (0, 0), (0, L - qk)))
+        """[E, qk] -> [E, L] (bounds stay 2D: a [E,1,L] array would
+        tile-pad the unit sublane 8x in HBM)."""
+        return x if L == qk else jnp.pad(x, ((0, 0), (0, L - qk)))
     arrays = dict(Dinv=m.Dinv, metdet=m.metdet, rmetdet=m.rmetdet,
                   spheremp=m.spheremp, deriv=m.grid.deriv)
 
@@ -250,16 +257,19 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
     dp_t = dp0_t - rhs_multiplier * dt * divdp_proj_t        # [E,16,k]
     rsp16 = m.rspheremp.reshape(E, 16)
 
-    qmin_l, qmax_l = m.tables.minmax_prep(Qt, dp_t, nq)      # [E, qk]
-    qmin_l = pad_l(qmin_l[:, None])                          # [E,1,L]
-    qmax_l = pad_l(qmax_l[:, None])
+    if pre_minmax is None:
+        qmin_l, qmax_l = m.tables.minmax_prep(Qt, dp_t, nq)  # [E, qk]
+    else:
+        qmin_l, qmax_l = pre_minmax
+    qmin_l = pad_l(qmin_l[:, :qk])                           # [E, L]
+    qmax_l = pad_l(qmax_l[:, :qk])
 
     def nbr_minmax(a_min, a_max):
         gmin, gmax = m.tables.neighbor_minmax(
-            a_min[..., :qk].reshape(E, nq, nk),
-            a_max[..., :qk].reshape(E, nq, nk))
-        return (pad_l(gmin.reshape(E, 1, qk)),
-                pad_l(gmax.reshape(E, 1, qk)))
+            a_min[:, :qk].reshape(E, nq, nk),
+            a_max[:, :qk].reshape(E, nq, nk))
+        return (pad_l(gmin.reshape(E, qk)),
+                pad_l(gmax.reshape(E, qk)))
 
     rhs_viss = 0
     bih_t = None
@@ -275,17 +285,25 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
         qmin, qmax = nbr_minmax(qmin_l, qmax_l)
         if cfg.nu_q > 0:
             # biharmonic: laplace -> DSS -> rspheremp here; the second
-            # Laplacian + tendency run inside the fused kernel (mode 2)
-            from ..ops.pallas_euler import laplace_wk_t
-            dp_rep = jnp.broadcast_to(dp_t[:, :, None, :],
-                                      (E, 16, nq, nk)).reshape(E, 16, qk)
-            if L != qk:
-                dp_rep = jnp.concatenate(
-                    [dp_rep, jnp.ones((E, 16, L - qk), Qt.dtype)], axis=-1)
-            Q_t = Qt / dp_rep
-            bih_t = m.tables.dss_scale_t(laplace_wk_t(Q_t, arrays), rsp16)
+            # Laplacian + tendency run inside the fused kernel (mode 2).
+            # When the previous stage's DSS epilogue already produced the
+            # first Laplacian (pre_lap), skip its standalone kernel.
             bih_mode = 2
             nu_coef = float(-rhs_viss * dt * cfg.nu_q)
+            if pre_lap is not None:
+                bih_t = m.tables.dss_scale_t(pre_lap, rsp16)
+            else:
+                from ..ops.pallas_euler import laplace_wk_t
+                dp_rep = jnp.broadcast_to(dp_t[:, :, None, :],
+                                          (E, 16, nq, nk)).reshape(E, 16,
+                                                                   qk)
+                if L != qk:
+                    dp_rep = jnp.concatenate(
+                        [dp_rep, jnp.ones((E, 16, L - qk), Qt.dtype)],
+                        axis=-1)
+                Q_t = Qt / dp_rep
+                bih_t = m.tables.dss_scale_t(laplace_wk_t(Q_t, arrays),
+                                             rsp16)
 
     from ..ops.pallas_euler import fused_advect_limit
     rsph = m.rspheremp.reshape(E, 16, 1)
@@ -311,28 +329,52 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
         out_i, qmin_i, qmax_i = run(slice(nb, None))
         qmin = jnp.concatenate([qmin_b, qmin_i], axis=0)
         qmax = jnp.concatenate([qmax_b, qmax_i], axis=0)
-        return m.tables.dss_sum_t_split(out_b, out_i) * rsph, qmin, qmax
+        # overlap path: next-stage bound prep stays unfused (the caller
+        # falls back to minmax_prep when it receives None)
+        return (m.tables.dss_sum_t_split(out_b, out_i) * rsph, qmin, qmax,
+                None)
 
     out_t, qmin, qmax = fused_advect_limit(
         Qt, uv_t, dp_t, divdp_t, qmin, qmax, arrays, float(dt),
         rhs_viss=rhs_viss, bih=bih_t, bih_mode=bih_mode, nu_coef=nu_coef,
         dp0=m.dp0ref, transposed=True, nq=nq, eb=cfg.pallas_eb)
+    if next_dp is not None:
+        Qt_new, nmn, nmx, lapo = m.tables.dss_scale_minmax_t(
+            out_t, rsp16, next_dp, nq,
+            lap_arrays=arrays if next_lap else None)
+        return Qt_new, qmin, qmax, ((nmn, nmx), lapo)
     Qt_new = m.tables.dss_scale_t(out_t, rsp16)
-    return Qt_new, qmin, qmax
+    return Qt_new, qmin, qmax, None
 
 
 def advect_rk2_t_parts(m: Model, Qt, uv_t, divdp_t, divdp_proj_t, dt_q):
     """T-layout RK2 advection from precomputed wind parts (uv_t = the
-    mean-flux (u*dp, v*dp) pair, each [E,16,k])."""
+    mean-flux (u*dp, v*dp) pair, each [E,16,k]).
+
+    Each stage's DSS epilogue also computes the NEXT stage's limiter
+    bound prep (min/max of Qdp'/dp_next over the element points) — the
+    fused kernel path saves a full read of the field per stage."""
     E = Qt.shape[0]
+    nk = m.cfg.nlev
     dt2 = dt_q / 2.0
-    zmin = jnp.zeros((E, 1, Qt.shape[2]), Qt.dtype)
-    Qt1, qmin, qmax = euler_step_t(m, Qt, zmin, zmin, divdp_t,
-                                   divdp_proj_t, uv_t, dt2, 0)
-    Qt2, qmin, qmax = euler_step_t(m, Qt1, qmin, qmax, divdp_t,
-                                   divdp_proj_t, uv_t, dt2, 1)
-    Qt3, qmin, qmax = euler_step_t(m, Qt2, qmin, qmax, divdp_t,
-                                   divdp_proj_t, uv_t, dt2, 2)
+    dp0_t = jnp.broadcast_to(m.dp0col[None, None, :], (E, 16, nk))
+    dp1_t = dp0_t - 1.0 * dt2 * divdp_proj_t
+    dp2_t = dp0_t - 2.0 * dt2 * divdp_proj_t
+    zmin = jnp.zeros((E, Qt.shape[2]), Qt.dtype)
+    Qt1, qmin, qmax, nb1 = euler_step_t(m, Qt, zmin, zmin, divdp_t,
+                                        divdp_proj_t, uv_t, dt2, 0,
+                                        next_dp=dp1_t)
+    mm1, _ = nb1 if nb1 is not None else (None, None)
+    # stage 1's DSS epilogue also emits the first biharmonic Laplacian
+    # for stage 2 (lap of Qdp2/dp2, the viscosity input)
+    Qt2, qmin, qmax, nb2 = euler_step_t(m, Qt1, qmin, qmax, divdp_t,
+                                        divdp_proj_t, uv_t, dt2, 1,
+                                        pre_minmax=mm1, next_dp=dp2_t,
+                                        next_lap=m.cfg.nu_q > 0)
+    mm2, lap2 = nb2 if nb2 is not None else (None, None)
+    Qt3, qmin, qmax, _ = euler_step_t(m, Qt2, qmin, qmax, divdp_t,
+                                      divdp_proj_t, uv_t, dt2, 2,
+                                      pre_minmax=mm2, pre_lap=lap2)
     return (Qt + 2.0 * Qt3) / 3.0, divdp_proj_t
 
 
@@ -505,7 +547,7 @@ def make_subcycle_fn(m: Model, diagnostics: bool = False):
             # face mode: pad lanes to a 128 multiple once per subcycle so
             # every kernel and the Pallas DSS stream at native tile width
             qkp = -(-qk // 128) * 128
-            if m.tables.mode == "face" and qkp != qk:
+            if getattr(m.tables, "mode", None) == "face" and qkp != qk:
                 Qt = jnp.pad(Qt, ((0, 0), (0, 0), (0, qkp - qk)))
             divdp_proj_t = None
             for _ in range(cfg.rsplit):

@@ -101,6 +101,21 @@ class DssTables:
             return dss_face_pallas(x_t, self.face, rsp=rsp)
         return self.dss_sum_t(x_t) * rsp[:, :, None]
 
+    def dss_scale_minmax_t(self, x_t, rsp, dp, nq, lap_arrays=None):
+        """Fused rsp*DSS(x_t) plus next-stage limiter-bound prep:
+        -> (out, qmin, qmax, lap) with qmin/qmax [E, lanes] = min/max over
+        the 16 points of out/dp (dp [E,16,nlev] broadcast over tracers).
+        With lap_arrays, lap = laplace_sphere_wk(out/dp) from the same
+        kernel epilogue; None otherwise."""
+        if self.mode == "face":
+            from .pallas_dss import dss_face_pallas
+            r = dss_face_pallas(x_t, self.face, rsp=rsp, dp=dp,
+                                lap_arrays=lap_arrays)
+            return r if len(r) == 4 else r + (None,)
+        out = self.dss_sum_t(x_t) * rsp[:, :, None]
+        qmn, qmx = self.minmax_prep(out[..., :nq * dp.shape[-1]], dp, nq)
+        return out, qmn, qmx, None
+
     def minmax_prep(self, x_t, dp, nq):
         """Per-element min/max over points of Q = x_t/dp -> ([E,B], [E,B]).
         x_t [E,16,B] (B = nq*nlev, level minor); dp [E,16,nlev]."""

@@ -27,8 +27,13 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import RREARTH
+from .pallas_euler import (_ddx_rolls, _ddy_mask_mat, _ddy_rolls,
+                           _roll_coeffs)
 
 
 def _pick_by(ne: int, bc: int) -> int:
@@ -37,11 +42,12 @@ def _pick_by(ne: int, bc: int) -> int:
     return max(d for d in range(1, ne + 1) if ne % d == 0 and d <= cap)
 
 
-def _dss_face_kernel(by, ne, nlev, with_scale, with_minmax,
+def _dss_face_kernel(by, ne, nlev, with_scale, with_minmax, with_lap,
                      x_ref, xu_ref, xd_ref,
                      gpx_ref, gmx_ref, gpy_ref, gmy_ref,
-                     rsp_ref, dp_ref,
-                     out_ref, qmin_ref=None, qmax_ref=None):
+                     rsp_ref, dp_ref, met_ref, cx_ref, cy_ref,
+                     cxt_ref, cyt_ref, mask_ref,
+                     out_ref, qmin_ref=None, qmax_ref=None, lap_ref=None):
     f = x_ref.dtype
     r = pl.program_id(1)
     nr = pl.num_programs(1)
@@ -109,26 +115,61 @@ def _dss_face_kernel(by, ne, nlev, with_scale, with_minmax,
         # lane l of chunk b holds level (b*bc + l) % nlev (lanes are the
         # flattened (tracer, level) axis, level minor; chunk boundaries
         # need not align with tracers).  Build the per-lane dp by tiling
-        # dp along lanes and rotating to the chunk's phase.
-        # dp tiled to a multiple of nlev covering bc, rotated to the
-        # chunk's phase: dpl[l] = dp[(b*bc + l) % nlev]
-        t = max(1, -(-bc // nlev))
-        dp_t = jnp.concatenate([dp_ref[0]] * t, axis=-1) if t > 1 \
-            else dp_ref[0][..., :]
+        # dp to a 128-aligned width (Mosaic's dynamic lane rotate requires
+        # it) and rotating to the chunk's phase:
+        # dpl[l] = dp[(start + l) % nlev] with start = (b*bc) % nlev —
+        # valid because the tile width covers start + bc and is a
+        # multiple of nlev over that range.
+        t = -(-(bc + nlev) // nlev)
+        Lt = -(-(t * nlev) // 128) * 128
+        dp_t = jnp.concatenate(
+            [dp_ref[0]] * t
+            + [jnp.zeros(dp_ref.shape[1:4] + (Lt - t * nlev,), f)],
+            axis=-1)
         start = (pl.program_id(2) * bc) % nlev
         dpl = pltpu.roll(dp_t, -start, axis=3)[..., :bc]
         q = res / dpl
         qmin_ref[0] = q.min(axis=2)
         qmax_ref[0] = q.max(axis=2)
+        if with_lap:
+            # weak Laplacian of Q = out/dp in the epilogue (the kernel is
+            # DMA-bound; the rolls ride the idle VPU) — the biharmonic
+            # stage's first laplace_sphere_wk (viscosity_mod.F90:289-351)
+            # without a separate HBM round trip of the field
+            met = met_ref[0]                       # [by, ne, 5, 16]
+            # slice-then-swap (int+None fancy indexing lowers to an
+            # unsupported >2D gather in Mosaic)
+            msel = lambda i: jnp.swapaxes(met[:, :, i:i + 1, :], -1, -2)
+            d00 = msel(0)
+            d01 = msel(1)
+            d10 = msel(2)
+            d11 = msel(3)
+            spm = msel(4)
+            cxj = cx_ref[:]
+            cyj = cy_ref[:]
+            masks = mask_ref[:]
+            v1 = _ddx_rolls(q, cxj)
+            v2 = _ddy_rolls(q, cyj, masks)
+            g1 = d00 * v1 + d10 * v2
+            g2 = d01 * v1 + d11 * v2
+            w1 = (d00 * g1 + d01 * g2) * spm
+            w2 = (d10 * g1 + d11 * g2) * spm
+            t2 = _ddx_rolls(w1, cxt_ref[:]) + _ddy_rolls(w2, cyt_ref[:],
+                                                         masks)
+            lap_ref[0] = -jnp.asarray(RREARTH * RREARTH, f) * t2
 
 
-def dss_face_pallas(x_t, ft, rsp=None, dp=None, nlev=None, interpret=None):
+def dss_face_pallas(x_t, ft, rsp=None, dp=None, nlev=None, interpret=None,
+                    lap_arrays=None):
     """Face-shift DSS on x_t [E, 16, B] (raster face order).
 
     rsp: optional [E, 16] rspheremp — fused post-scale (make_C0).
     dp:  optional [E, 16, nlev] next-stage layer thickness — also return
          qmin/qmax [E, B] of Q = out/dp (requires rsp; B = nq*nlev, level
          minor).  Returns (out, qmin, qmax) then, else out.
+    lap_arrays: optional dict(Dinv, spheremp, deriv) — additionally emit
+         laplace_sphere_wk(out/dp) (requires dp); appended to the return
+         tuple.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -136,10 +177,11 @@ def dss_face_pallas(x_t, ft, rsp=None, dp=None, nlev=None, interpret=None):
     E, nn, B = x_t.shape
     f = x_t.dtype
     with_minmax = dp is not None
+    with_lap = lap_arrays is not None
+    if with_lap and not with_minmax:
+        raise ValueError("lap fusion requires dp")
     if with_minmax:
         nlev = dp.shape[-1]
-        if B % nlev:
-            raise ValueError("B must be a multiple of nlev")
         if rsp is None:
             raise ValueError("minmax fusion requires rsp")
     # Mosaic wants the last block dim 128-divisible (or whole): pad the
@@ -199,35 +241,69 @@ def dss_face_pallas(x_t, ft, rsp=None, dp=None, nlev=None, interpret=None):
         bmm = pl.BlockSpec((1, by, ne, bc),
                            lambda face, r, b: (face, r, 0, b),
                            memory_space=pltpu.VMEM)
-        out_specs = (bmain, bmm, bmm)
-        out_shape = (jax.ShapeDtypeStruct(x6.shape, f),
+        out_specs = [bmain, bmm, bmm]
+        out_shape = [jax.ShapeDtypeStruct(x6.shape, f),
                      jax.ShapeDtypeStruct((6, ne, ne, Bp), f),
-                     jax.ShapeDtypeStruct((6, ne, ne, Bp), f))
+                     jax.ShapeDtypeStruct((6, ne, ne, Bp), f)]
     else:
         dp6 = jnp.zeros((6, 1, 1, 1, 1), f)
         bdp = pl.BlockSpec((1, 1, 1, 1, 1),
                            lambda face, r, b: (face, 0, 0, 0, 0),
                            memory_space=pltpu.VMEM)
-        out_specs = bmain
-        out_shape = jax.ShapeDtypeStruct(x6.shape, f)
+        out_specs = [bmain]
+        out_shape = [jax.ShapeDtypeStruct(x6.shape, f)]
+
+    bcoef = pl.BlockSpec((nn, 4), lambda face, r, b: (0, 0),
+                         memory_space=pltpu.VMEM)
+    if with_lap:
+        Dinv = lap_arrays["Dinv"]
+        met5 = jnp.stack(
+            [Dinv[..., 0, 0].reshape(E, 16), Dinv[..., 0, 1].reshape(E, 16),
+             Dinv[..., 1, 0].reshape(E, 16), Dinv[..., 1, 1].reshape(E, 16),
+             lap_arrays["spheremp"].reshape(E, 16)],
+            axis=1).astype(f).reshape(6, ne, ne, 5, nn)
+        bmet = pl.BlockSpec((1, by, ne, 5, nn),
+                            lambda face, r, b: (face, r, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        deriv_np = np.asarray(lap_arrays["deriv"])
+        cx, cy = _roll_coeffs(deriv_np, transpose=False)
+        cxt, cyt = _roll_coeffs(deriv_np, transpose=True)
+        out_specs.append(bmain)
+        out_shape.append(jax.ShapeDtypeStruct(x6.shape, f))
+    else:
+        met5 = jnp.zeros((6, 1, 1, 1, 1), f)
+        bmet = pl.BlockSpec((1, 1, 1, 1, 1),
+                            lambda face, r, b: (face, 0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        cx = cy = cxt = cyt = np.zeros((nn, 4))
 
     kernel = functools.partial(_dss_face_kernel, by, ne, nlev,
-                               rsp is not None, with_minmax)
+                               rsp is not None, with_minmax, with_lap)
     outs = pl.pallas_call(
         kernel,
         grid=(6, nr, nb),
         in_specs=[bmain, brow_up, brow_dn,
-                  bstrip, bstrip, bstrip, bstrip, brsp, bdp],
-        out_specs=out_specs,
-        out_shape=out_shape,
+                  bstrip, bstrip, bstrip, bstrip, brsp, bdp, bmet,
+                  bcoef, bcoef, bcoef, bcoef, bcoef],
+        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
+        out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
+        # the lap-epilogue variant carries two full outputs + metric
+        # blocks past the 16M default scoped-vmem cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x6, x6, x6, gpx, gmx, gpy, gmy, rsp6, dp6)
+    )(x6, x6, x6, gpx, gmx, gpy, gmy, rsp6, dp6, met5,
+      jnp.asarray(cx, f), jnp.asarray(cy, f),
+      jnp.asarray(cxt, f), jnp.asarray(cyt, f),
+      jnp.asarray(_ddy_mask_mat(), f))
 
     if with_minmax:
-        out, qmin, qmax = outs
-        return (out.reshape(E, nn, Bp)[..., :B],
-                qmin.reshape(E, Bp)[..., :B],
-                qmax.reshape(E, Bp)[..., :B])
+        ret = [outs[0].reshape(E, nn, Bp)[..., :B],
+               outs[1].reshape(E, Bp)[..., :B],
+               outs[2].reshape(E, Bp)[..., :B]]
+        if with_lap:
+            ret.append(outs[3].reshape(E, nn, Bp)[..., :B])
+        return tuple(ret)
     return outs.reshape(E, nn, Bp)[..., :B]
 
 

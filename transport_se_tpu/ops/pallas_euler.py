@@ -207,8 +207,10 @@ def _euler_kernel(nq, dt, rhs_viss, bih_mode, nu_coef,
 
     # ---- limiter 8 on Q = qtens/dp_star (prim_advection_mod.F90:976) ----
     x = qtens * rcp_star
-    minp = qmin_ref[...]               # [eb, 1, qk]
-    maxp = qmax_ref[...]
+    # bounds travel as 2D [E, L] arrays in HBM (a [E,1,L] layout would
+    # tile-pad the unit sublane 8x in storage and traffic)
+    minp = qmin_ref[...][:, None, :]   # [eb, 1, L]
+    maxp = qmax_ref[...][:, None, :]
 
     sumc = _rep_to(sumc_k, L)
     mass = jnp.sum(c * x, axis=-2, keepdims=True)
@@ -216,8 +218,8 @@ def _euler_kernel(nq, dt, rhs_viss, bih_mode, nu_coef,
     safe_sumc = jnp.where(sumc > 0, sumc, one)
     minp = jnp.where(mass < minp * safe_sumc, mass / safe_sumc, minp)
     maxp = jnp.where(mass > maxp * safe_sumc, mass / safe_sumc, maxp)
-    qmin_out_ref[...] = minp
-    qmax_out_ref[...] = maxp
+    qmin_out_ref[...] = minp[:, 0, :]
+    qmax_out_ref[...] = maxp[:, 0, :]
     # convergence tolerance: the reference's 5e-14 (f64,
     # prim_advection_mod.F90:1009).  In f32 this below-resolution value
     # only passes once addmass underflows to exactly 0 — i.e. the clip
@@ -398,8 +400,8 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
         u_r, v_r = vn0
         dp_r = dp
         divdp_r = divdp
-        qmin_r = qmin
-        qmax_r = qmax
+        qmin_r = qmin.reshape(E, -1)
+        qmax_r = qmax.reshape(E, -1)
         bih_r = bih if has_bih else jnp.zeros((E, N2, 1), f)
     else:
         tp = lambda a, inner: jnp.moveaxis(a.reshape(E, inner, N2), -1, 1)
@@ -408,15 +410,17 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
         v_r = tp(vn0[:, :, 1], nk)
         dp_r = tp(dp, nk)
         divdp_r = tp(divdp, nk)
-        qmin_r = qmin.reshape(E, 1, qk)
-        qmax_r = qmax.reshape(E, 1, qk)
+        qmin_r = qmin.reshape(E, qk)
+        qmax_r = qmax.reshape(E, qk)
         bih_r = tp(bih, qk) if has_bih else jnp.zeros((E, N2, 1), f)
 
-    if E % eb != 0:
-        eb = 1
+    # Mosaic block rule: the 2D bound blocks (eb, L) need eb divisible by
+    # 8 or equal to E — round the requested eb to a legal value
+    if eb % 8 or E % eb:
+        eb = 8 if E % 8 == 0 else E
     be = lambda s2: pl.BlockSpec((eb, N2, s2), lambda e: (e, 0, 0),
                                  memory_space=pltpu.VMEM)
-    brow = pl.BlockSpec((eb, 1, qk), lambda e: (e, 0, 0),
+    brow = pl.BlockSpec((eb, qk), lambda e: (e, 0),
                         memory_space=pltpu.VMEM)
     bmet = pl.BlockSpec((eb, 7, N2), lambda e: (e, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -435,8 +439,12 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
                   be(qk if has_bih else 1)],
         out_specs=(be(qk), brow, brow),
         out_shape=(jax.ShapeDtypeStruct((E, N2, qk), f),
-                   jax.ShapeDtypeStruct((E, 1, qk), f),
-                   jax.ShapeDtypeStruct((E, 1, qk), f)),
+                   jax.ShapeDtypeStruct((E, qk), f),
+                   jax.ShapeDtypeStruct((E, qk), f)),
+        # eb=8 with the bih operand slightly exceeds the 16M default
+        # scoped-vmem cap; the chip has headroom
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(qdp_r, u_r, v_r, dp_r, divdp_r, met_pack, qmin_r, qmax_r,
       jnp.asarray(cx, f), jnp.asarray(cy, f),

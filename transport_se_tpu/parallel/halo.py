@@ -275,6 +275,13 @@ class ShardedDssTables:
         """rsp * DSS(x_t); same interface as DssTables.dss_scale_t."""
         return self.dss_sum_t(x_t) * rsp[:, :, None]
 
+    def dss_scale_minmax_t(self, x_t, rsp, dp, nq, lap_arrays=None):
+        """Fused-interface fallback: DSS+scale then the bound prep; no
+        fused laplacian (the caller computes it standalone on None)."""
+        out = self.dss_sum_t(x_t) * rsp[:, :, None]
+        qmn, qmx = self.minmax_prep(out[..., :nq * dp.shape[-1]], dp, nq)
+        return out, qmn, qmx, None
+
     def minmax_prep(self, x_t, dp, nq):
         """Per-element min/max over points of Q = x_t/dp (per shard)."""
         E, nn, B = x_t.shape
