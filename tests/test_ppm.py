@@ -184,3 +184,38 @@ def test_fast_margin_guard():
     fast = remap_q_ppm(q, d_bad, dp1)
     gen = remap_q_ppm_general(q, d_bad, dp1)
     assert float(jnp.abs(fast - gen).max()) > 1e-6
+
+
+def test_fast_matches_general_down2():
+    """The -2 shift level (DCMIP1-2's thin-layer downdraft regime) must
+    agree with the unbounded search exactly."""
+    from transport_se_tpu.ops.ppm import (ppm_fast_margin,
+                                          remap_q_ppm_general)
+    nlev = 16
+    rng = np.random.default_rng(7)
+    # thin cells in the middle so a modest interface displacement spans
+    # 2 source cells downward
+    w1 = np.ones(nlev)
+    w1[6:10] = 0.15
+    d1 = jnp.asarray(np.tile(w1, (4, 1)))
+    d1 = d1 * (nlev / d1.sum(-1, keepdims=True))
+    # target grid uniform, same total
+    d2 = jnp.full((4, nlev), 1.0) * (d1.sum(-1, keepdims=True) / nlev)
+    assert float(ppm_fast_margin(d1, d2)) >= 0
+    q = jnp.asarray(rng.uniform(0.2, 1.0, (4, 3, nlev))) * d1[:, None]
+    fast = remap_q_ppm(q, d1, d2)
+    gen = remap_q_ppm_general(q, d1, d2)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(gen),
+                               rtol=1e-12, atol=1e-13)
+    # and the Pallas kernel agrees too (interpret mode)
+    from transport_se_tpu.ops.pallas_ppm import remap_q_ppm_pallas_t
+    qt = jnp.moveaxis(q.reshape(4, 1, 3 * nlev), 1, 1)  # fake T layout
+    Qt = q.reshape(4, 1, 3 * nlev)
+    Qt16 = jnp.broadcast_to(Qt, (4, 16, 3 * nlev))
+    d1t = jnp.broadcast_to(d1[:, None], (4, 16, nlev))
+    d2t = jnp.broadcast_to(d2[:, None], (4, 16, nlev))
+    pal = remap_q_ppm_pallas_t(Qt16, d1t, d2t, interpret=True)
+    ref = remap_q_ppm(Qt16.reshape(4, 16, 3, nlev), d1t, d2t)
+    np.testing.assert_allclose(np.asarray(pal),
+                               np.asarray(ref.reshape(4, 16, 3 * nlev)),
+                               rtol=1e-10, atol=1e-11)

@@ -120,15 +120,18 @@ def _ddx_rolls(X, cx):
 
 
 def _ddy_rolls(X, cy, masks):
-    """Contract the j-index (within sublane groups of 4): rolls+selects.
-    X: [..., 16, L]; cy, masks: [16, 4]."""
+    """Contract the j-index (within sublane groups of 4): rolls + 2 FMAs.
+    X: [..., 16, L]; cy, masks: [16, 4].  The per-row coefficient*mask
+    products are tiny [16,1] values, so each distance costs two full-width
+    FMAs instead of a select chain."""
     ax = X.ndim - 2
     out = cy[:, 0:1] * X
     for d in range(1, 4):
+        ca = cy[:, d:d + 1] * masks[:, d:d + 1]
+        cb = cy[:, d:d + 1] - ca
         a = pltpu.roll(X, (16 - d) % 16, axis=ax)       # X[p+d]
         b = pltpu.roll(X, (16 - d + 4) % 16, axis=ax)   # X[p+d-4]
-        md = masks[:, d:d + 1]
-        out = out + cy[:, d:d + 1] * (md * a + (1.0 - md) * b)
+        out = out + ca * a + cb * b
     return out
 
 
@@ -232,13 +235,14 @@ def _euler_kernel(nq, dt, rhs_viss, bih_mode, nu_coef,
         # No separate `done` mask: a converged column has addmass == 0
         # exactly (nothing outside bounds after its clip), so conv stays
         # true and x_next == xcl == x — freezing is automatic.
+        # addmass as a mass difference (sum(c*x) == mass is a loop
+        # invariant: the redistribution restores it exactly in exact
+        # arithmetic and to roundoff in float) — one reduction and no
+        # over/under masks, cf. the reference's explicit clip sums
+        # (prim_advection_mod.F90:1033-1055).
         it, x, _ = state
-        over = x > maxp
-        under = x < minp
-        addmass = jnp.sum(jnp.where(over, (x - maxp) * c, 0.0)
-                          + jnp.where(under, (x - minp) * c, 0.0),
-                          axis=-2, keepdims=True)
         xcl = jnp.clip(x, minp, maxp)
+        addmass = mass - jnp.sum(c * xcl, axis=-2, keepdims=True)
         conv = jnp.abs(addmass) <= tol
         pos = (addmass > 0).astype(f)
         free = (pos * (xcl < maxp).astype(f)

@@ -141,12 +141,15 @@ def _kernel(nq, nk, alg, csteps,
     up2 = (s1L(pio_r) <= tgt) & up1 & (kidx < kf - 2)
     up3 = (s1L(s1L(pio_r)) <= tgt) & up2 & (kidx < kf - 3)
     dn1 = pio_l > tgt
+    dn2 = (s1R(pio_l) > tgt) & dn1 & (kidx >= 2)
     f1 = up1.astype(f)
     f2 = up2.astype(f)
     f3 = up3.astype(f)
     fd = dn1.astype(f)
+    fd2 = dn2.astype(f)
     # exclusive shift masks: m[s] = 1 where the selected cell is k+s
-    m_m1 = fd * (1.0 - f1)
+    m_m2 = fd2
+    m_m1 = fd - fd2
     m_0 = (1.0 - fd) * (1.0 - f1)
     m_1 = f1 - f2
     m_2 = f2 - f3
@@ -156,7 +159,8 @@ def _kernel(nq, nk, alg, csteps,
         # level-width masked-roll select (rolls stay inside the k group
         # because the masks exclude boundary shifts)
         return (m_0 * x + m_1 * _rollL(x, 1) + m_2 * _rollL(x, 2)
-                + m_3 * _rollL(x, 3) + m_m1 * _rollR(x, 1))
+                + m_3 * _rollL(x, 3) + m_m1 * _rollR(x, 1)
+                + m_m2 * _rollR(x, 2))
 
     dpo_kk = sel_k(d)
     pio_kk = sel_k(pio_l)
@@ -203,12 +207,13 @@ def _kernel(nq, nk, alg, csteps,
 
     masso = cumsum_k(qdp, masks) - qdp   # mass below cell k (exclusive)
 
-    q_m1, q_0 = rep(m_m1), rep(m_0)
+    q_m2, q_m1, q_0 = rep(m_m2), rep(m_m1), rep(m_0)
     q_1, q_2, q_3 = rep(m_1), rep(m_2), rep(m_3)
 
     def sel_q(x):
         return (q_0 * x + q_1 * _rollL(x, 1) + q_2 * _rollL(x, 2)
-                + q_3 * _rollL(x, 3) + q_m1 * _rollR(x, 1))
+                + q_3 * _rollL(x, 3) + q_m1 * _rollR(x, 1)
+                + q_m2 * _rollR(x, 2))
 
     masso_kk = sel_q(masso)
     k0 = sel_q(coef0)

@@ -136,20 +136,23 @@ def _shift_right_clamp(a, n=1):
     return jnp.concatenate([a[..., :1]] * n + [a[..., :-n]], axis=-1)
 
 
-def _make_sel(b_up3, b_up2, b_up1, b_dn1):
-    """Selector for a[..., kk0] with kk0 = k0 + shift, shift in [-1, 3].
+def _make_sel(b_up3, b_up2, b_up1, b_dn1, b_dn2):
+    """Selector for a[..., kk0] with kk0 = k0 + shift, shift in [-2, 3].
 
     With the `count(pio <= tgt)` convention an UNdisplaced interface
     already selects shift +1 (pio[k0+1] == tgt), so interface
-    displacements of di cells map to shift = di + 1: di in [-2, +2]
-    needs shifts -1..+3.  The booleans are monotone nested
-    (b_up3 => b_up2 => b_up1) and b_dn1 excludes b_up1."""
+    displacements of di cells map to shift = di + 1: di in [-3, +2]
+    needs shifts -2..+3 (the -2 level is reached by DCMIP 1-2's Hadley
+    downdraft over the thin near-surface acme-72 layers).  The booleans
+    are monotone nested (b_up3 => b_up2 => b_up1, b_dn2 => b_dn1) and
+    b_dn1 excludes b_up1."""
     def sel(a):
         up23 = jnp.where(b_up3, _shift_left_clamp(a, 3),
                          _shift_left_clamp(a, 2))
         up = jnp.where(b_up2, up23, _shift_left_clamp(a, 1))
-        return jnp.where(b_up1, up,
-                         jnp.where(b_dn1, _shift_right_clamp(a, 1), a))
+        dn = jnp.where(b_dn2, _shift_right_clamp(a, 2),
+                       _shift_right_clamp(a, 1))
+        return jnp.where(b_up1, up, jnp.where(b_dn1, dn, a))
     return sel
 
 
@@ -198,7 +201,8 @@ def remap_q_ppm(qdp, dp1, dp2, alg: int = 0):
     b_up3 = (_shift_left_clamp(pio_r, 2) <= tgt) & b_up2  # pio[k0+3] <= tgt
     b_up3 = b_up3.at[..., -3:].set(False)
     b_dn1 = pio_l > tgt                                 # False at k0=0
-    sel = _make_sel(b_up3, b_up2, b_up1, b_dn1)
+    b_dn2 = (_shift_right_clamp(pio_l) > tgt) & b_dn1   # pio[k0-1] > tgt
+    sel = _make_sel(b_up3, b_up2, b_up1, b_dn1, b_dn2)
 
     dpo_kk = sel(dp1)
     pio_kk = sel(pio_l)                                 # pio[kk0]
@@ -216,7 +220,8 @@ def remap_q_ppm(qdp, dp1, dp2, alg: int = 0):
     coefs = compute_ppm_coefs(ao_ext, dpo_ext_q, alg)   # [..., Q, 3, nlev]
 
     selq = _make_sel(b_up3[..., None, :], b_up2[..., None, :],
-                     b_up1[..., None, :], b_dn1[..., None, :])
+                     b_up1[..., None, :], b_dn1[..., None, :],
+                     b_dn2[..., None, :])
     masso_kk = selq(masso[..., :-1])
     c0 = selq(coefs[..., 0, :])
     c1 = selq(coefs[..., 1, :])
@@ -252,7 +257,7 @@ def ppm_fast_margin(dp1, dp2):
     pin = pin.at[..., -1].set(pio[..., -1])
     tgt = pin[..., 1:-1]                    # interior interfaces j=0..K-2
     idx = jnp.arange(nlev - 1)
-    lo = pio[..., jnp.maximum(idx - 1, 0)]            # pio[j-1]
+    lo = pio[..., jnp.maximum(idx - 2, 0)]            # pio[j-2]
     hi = pio[..., jnp.minimum(idx + 4, nlev)]         # pio[j+4]
     return jnp.minimum(tgt - lo, hi - tgt).min()
 
