@@ -69,7 +69,10 @@ def run_simulation(cfg: Config, model: Optional[Model] = None,
             Qdp = jax.jit(lambda: initial_qdp(m))()
             nstep0 = 0
         q_init = np.asarray(Qdp / m.dp0col[None, None, :, None, None])
-        step = jax.jit(make_subcycle_fn(m, diagnostics=False))
+        # donate Qdp so XLA aliases the input buffer (a full field —
+        # matters at NE120 where HBM is the constraint)
+        step = jax.jit(make_subcycle_fn(m, diagnostics=False),
+                       donate_argnums=0)
     if (nsteps - nstep0) % cfg.rsplit != 0:
         raise ValueError("remaining steps not divisible by rsplit")
     n_subcycles = (nsteps - nstep0) // cfg.rsplit

@@ -61,20 +61,19 @@ class WindBasis:
 
     def eval(self, t):
         """-> (u_t, v_t, un0_t, vn0_t, divdp_t, divdp_proj_t), all
-        [E, 16, K]; un0/vn0 include the dp0 weight (the mean-flux vn0)."""
-        s = [fn(t) for fn in self.tfns]
-        u = v = d = p = None
-        for i, si in enumerate(s):
-            fki = (self.fk[i] * si)[None, None, :]
-            pri = (self.prof[i] * si)[None, None, :]
-            cu = self.u2d[i][:, :, None] * fki
-            cv = self.v2d[i][:, :, None] * fki
-            cd = self.g2d[i][:, :, None] * pri
-            cp = self.gp2d[i][:, :, None] * pri
-            u = cu if u is None else u + cu
-            v = cv if v is None else v + cv
-            d = cd if d is None else d + cd
-            p = cp if p is None else p + cp
+        [E, 16, K]; un0/vn0 include the dp0 weight (the mean-flux vn0).
+
+        Single tensordot contractions over the term axis — a Python
+        accumulation chain kept ~10 un-fused [E,16,K] temps live (6.7 GB
+        at NE120) in the XLA buffer assignment."""
+        s = jnp.stack([jnp.asarray(fn(t), self.dp0.dtype)
+                       for fn in self.tfns])
+        fks = self.fk * s[:, None]                       # [T, K]
+        prs = self.prof * s[:, None]
+        u = jnp.einsum("tep,tk->epk", self.u2d, fks)
+        v = jnp.einsum("tep,tk->epk", self.v2d, fks)
+        d = jnp.einsum("tep,tk->epk", self.g2d, prs)
+        p = jnp.einsum("tep,tk->epk", self.gp2d, prs)
         dp0 = self.dp0[None, None, :]
         return u, v, u * dp0, v * dp0, d, p
 

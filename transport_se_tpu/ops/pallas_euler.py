@@ -235,14 +235,17 @@ def _euler_kernel(nq, dt, rhs_viss, bih_mode, nu_coef,
         # No separate `done` mask: a converged column has addmass == 0
         # exactly (nothing outside bounds after its clip), so conv stays
         # true and x_next == xcl == x — freezing is automatic.
-        # addmass as a mass difference (sum(c*x) == mass is a loop
-        # invariant: the redistribution restores it exactly in exact
-        # arithmetic and to roundoff in float) — one reduction and no
-        # over/under masks, cf. the reference's explicit clip sums
-        # (prim_advection_mod.F90:1033-1055).
+        # addmass MUST be the sum of the explicit clip residuals (exact
+        # zeros when nothing clips -> exact convergence); a
+        # mass-difference formulation leaves reduction roundoff that
+        # never passes the f32 tolerance and forces max iterations.
         it, x, _ = state
+        over = x > maxp
+        under = x < minp
+        addmass = jnp.sum(jnp.where(over, (x - maxp) * c, 0.0)
+                          + jnp.where(under, (x - minp) * c, 0.0),
+                          axis=-2, keepdims=True)
         xcl = jnp.clip(x, minp, maxp)
-        addmass = mass - jnp.sum(c * xcl, axis=-2, keepdims=True)
         conv = jnp.abs(addmass) <= tol
         pos = (addmass > 0).astype(f)
         free = (pos * (xcl < maxp).astype(f)
