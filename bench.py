@@ -39,9 +39,15 @@ def main():
                        "use_pallas": PALLAS and
                        jax.devices()[0].platform != "cpu"})
     m = build_model(cfg)
-    step = jax.jit(make_subcycle_fn(m, diagnostics=False))
+    use_t = cfg.use_pallas
+    step = jax.jit(make_subcycle_fn(
+        m, diagnostics=False, io_layout="t" if use_t else "std"))
 
     Qdp = jax.jit(lambda: initial_qdp(m))()
+    if use_t:
+        from transport_se_tpu.model.core import _tp
+        E = m.grid.nelem
+        Qdp = jax.jit(lambda x: _tp(x, E, cfg.qsize * cfg.nlev))(Qdp)
     nstep = jnp.asarray(0, jnp.int32)
 
     # warmup (compile + 1 interval)

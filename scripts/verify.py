@@ -34,6 +34,9 @@ def main():
     p.add_argument("--nu_q", type=float, default=None)
     p.add_argument("--pallas", action="store_true",
                    help="run the fused-kernel (T-layout) pipeline")
+    p.add_argument("--nlev", type=int, default=72,
+                   help="72 (acme72 vcoord) or a DCMIP uniform-z level "
+                        "count (e.g. 64 for the README's 64L rows)")
     p.add_argument("--dss", default=None,
                    choices=["gather", "segsum", "face"],
                    help="DSS mode (default: face when --pallas, "
@@ -60,9 +63,10 @@ def main():
     days = args.days if args.days is not None else \
         (12.0 if args.test == "dcmip1-1" else 1.0)
     dss = args.dss or ("face" if args.pallas else "gather")
+    vcoord = "acme72" if args.nlev == 72 else f"dcmip{args.nlev}"
     cfg = Config(ne=args.ne, test_case=args.test, tstep=tstep, ndays=days,
-                 qsize=args.qsize, nu_q=nu, dtype=args.dtype,
-                 use_pallas=args.pallas, dss_mode=dss,
+                 qsize=args.qsize, nu_q=nu, dtype=args.dtype, nlev=args.nlev,
+                 vcoord=vcoord, use_pallas=args.pallas, dss_mode=dss,
                  elem_order="raster" if dss == "face" else "gilbert",
                  statefreq=int(12 * 3600 / tstep) * 3)
     print(f"config: {cfg}")

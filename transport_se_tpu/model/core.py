@@ -504,11 +504,17 @@ def vertical_remap(m: Model, Qdp, divdp_proj, dt_remap):
 # the remap-interval step (prim_run_subcycle)
 # ---------------------------------------------------------------------------
 
-def make_subcycle_fn(m: Model, diagnostics: bool = False):
+def make_subcycle_fn(m: Model, diagnostics: bool = False,
+                     io_layout: str = "std"):
     """Returns jittable fn(Qdp, nstep) -> (Qdp', ps_v, nstep', min_dp).
 
     One call advances rsplit tracer steps and performs one vertical remap
     (prim_driver_mod.F90:788-796).  nstep counts tracer steps.
+
+    io_layout="t" (pallas perf path only): state passes in and out in the
+    T layout [E, 16, qk] so consecutive subcycles chain with no relayout
+    copies (2 full-field transposes and their XLA buffers otherwise;
+    convert with model.core._tp/_tp_back at the boundaries).
     """
     cfg = m.cfg
     # Python floats: they bake into the trace as constants either way, and
@@ -540,10 +546,10 @@ def make_subcycle_fn(m: Model, diagnostics: bool = False):
         from .wind_basis import build_wind_basis
         wb = build_wind_basis(m)
 
-        def step_t(Qdp, nstep):
-            E = Qdp.shape[0]
+        def subcycle_t(Qt, nstep):
+            """The whole subcycle on T-layout state (no relayouts)."""
+            E = Qt.shape[0]
             qk = cfg.qsize * cfg.nlev
-            Qt = _tp(Qdp, E, qk)
             # face mode: pad lanes to a 128 multiple once per subcycle so
             # every kernel and the Pallas DSS stream at native tile width
             qkp = -(-qk // 128) * 128
@@ -564,6 +570,15 @@ def make_subcycle_fn(m: Model, diagnostics: bool = False):
             Qt = Qt[:, :, :qk]
             Qt, ps_v, min_dp = vertical_remap_t(m, Qt, divdp_proj_t,
                                                 dt_remap)
+            return Qt, ps_v, nstep, min_dp
+
+        if io_layout == "t":
+            return subcycle_t
+
+        def step_t(Qdp, nstep):
+            E = Qdp.shape[0]
+            qk = cfg.qsize * cfg.nlev
+            Qt, ps_v, nstep, min_dp = subcycle_t(_tp(Qdp, E, qk), nstep)
             return _tp_back(Qt, Qdp.shape), ps_v, nstep, min_dp
 
         return step_t

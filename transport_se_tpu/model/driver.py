@@ -21,7 +21,8 @@ from ..config import Config
 from ..constants import P0
 from ..diagnostics import StateLog, tracer_diagnostics
 from ..timing import timers
-from .core import Model, build_model, initial_qdp, make_subcycle_fn
+from .core import (Model, _tp, _tp_back, build_model, initial_qdp,
+                   make_subcycle_fn)
 
 
 @dataclasses.dataclass
@@ -69,10 +70,26 @@ def run_simulation(cfg: Config, model: Optional[Model] = None,
             Qdp = jax.jit(lambda: initial_qdp(m))()
             nstep0 = 0
         q_init = np.asarray(Qdp / m.dp0col[None, None, :, None, None])
-        # donate Qdp so XLA aliases the input buffer (a full field —
-        # matters at NE120 where HBM is the constraint)
-        step = jax.jit(make_subcycle_fn(m, diagnostics=False),
-                       donate_argnums=0)
+        # perf path: keep the state in the kernels' T layout between
+        # subcycles (no per-subcycle relayout copies); convert only at
+        # diagnostic/IO points.  Donate the state buffer so XLA aliases
+        # it (a full field — matters at NE120 where HBM is the bound).
+        use_t = (cfg.use_pallas and cfg.limiter_option == 8)
+        std_shape = Qdp.shape
+        E = std_shape[0]
+        qk = cfg.qsize * cfg.nlev
+        if use_t:
+            to_t = jax.jit(lambda x: _tp(x, E, qk))
+            to_std = jax.jit(lambda x: _tp_back(x, std_shape))
+            state = to_t(Qdp)
+        else:
+            to_std = lambda x: x
+            state = Qdp
+        # NOTE: donate_argnums on the state would save one field-sized
+        # buffer, but buffer donation aborts at runtime through the axon
+        # TPU tunnel (InvalidArgument) — left off
+        step = jax.jit(make_subcycle_fn(m, diagnostics=False,
+                                        io_layout="t" if use_t else "std"))
     if (nsteps - nstep0) % cfg.rsplit != 0:
         raise ValueError("remaining steps not divisible by rsplit")
     n_subcycles = (nsteps - nstep0) // cfg.rsplit
@@ -96,6 +113,7 @@ def run_simulation(cfg: Config, model: Optional[Model] = None,
         history.write(m, 0, q_init,
                       np.full((m.grid.nelem, 4, 4), P0), extras=extras0)
 
+    del Qdp
     nstep = jnp.asarray(nstep0, jnp.int32)
     t0 = _time.perf_counter()
     ps_v = None
@@ -110,14 +128,22 @@ def run_simulation(cfg: Config, model: Optional[Model] = None,
             # prim_state_mod.F90:573-657 with prim_driver calls :771-835)
             dp0 = (reference_dp(m, ps_v) if ps_v is not None
                    else m.dp0col[None, :, None, None])
-            mass0, var0, _, _ = tracer_diagnostics(m, Qdp,
-                                                   Qdp / dp0[:, None])
+            Qdp0v = to_std(state)
+            mass0, var0, _, _ = tracer_diagnostics(m, Qdp0v,
+                                                   Qdp0v / dp0[:, None])
         with timers.time("prim_run"):
-            Qdp, ps_v, nstep, min_dp = step(Qdp, nstep)
+            state, ps_v, nstep, min_dp = step(state, nstep)
             # JAX dispatch is asynchronous; block so the timer measures
             # compute (like the reference's synchronous GPTL regions)
-            jax.block_until_ready(Qdp)
+            jax.block_until_ready(state)
         cur = int(nstep)
+        need_std = (check or (history is not None
+                              and (history.due(cur, cfg)
+                                   or isub == n_subcycles - 1))
+                    or (restart_writer is not None and restartfreq > 0
+                        and cur % restartfreq < cfg.rsplit)
+                    or isub == n_subcycles - 1)
+        Qdp = to_std(state) if need_std else None
         if check:
             if float(min_dp) < 0:
                 raise RuntimeError(
@@ -146,8 +172,9 @@ def run_simulation(cfg: Config, model: Optional[Model] = None,
         if (restart_writer is not None and restartfreq > 0
                 and cur % restartfreq < cfg.rsplit):
             restart_writer(m, cur, np.asarray(Qdp), np.asarray(ps_v))
-    jax.block_until_ready(Qdp)
+    jax.block_until_ready(state)
     wall = _time.perf_counter() - t0
+    Qdp = to_std(state)
 
     dp_ref = reference_dp(m, ps_v)
     q_final = np.asarray(Qdp / dp_ref[:, None])
