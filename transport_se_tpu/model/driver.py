@@ -69,7 +69,10 @@ def run_simulation(cfg: Config, model: Optional[Model] = None,
         else:
             Qdp = jax.jit(lambda: initial_qdp(m))()
             nstep0 = 0
-        q_init = np.asarray(Qdp / m.dp0col[None, None, :, None, None])
+        # host-side divide: a device-temp here costs a full field of HBM
+        # exactly when it hurts (NE120 single-chip)
+        q_init = (np.asarray(Qdp)
+                  / np.asarray(m.dp0col)[None, None, :, None, None])
         # perf path: keep the state in the kernels' T layout between
         # subcycles (no per-subcycle relayout copies); convert only at
         # diagnostic/IO points.  Donate the state buffer so XLA aliases
