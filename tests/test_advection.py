@@ -97,3 +97,20 @@ def test_mass_conservation_multi_step(M):
         assert float(min_dp) > 0
     m1 = _mass(M, Qdp)
     assert (np.abs(m1 - m0) / np.abs(m0)).max() < 1e-12
+
+
+def test_driver_t_layout_path_matches_std():
+    """run_simulation's T-layout state path (use_pallas) must match the
+    standard-layout XLA path end to end (same physics, interpret-mode
+    kernels on CPU; f64 so the comparison is tight)."""
+    from transport_se_tpu.config import Config
+    from transport_se_tpu.model.driver import run_simulation
+
+    kw = dict(ne=2, nlev=8, qsize=2, tstep=600.0, nmax=6, nu_q=6e16,
+              vcoord="dcmip8", test_case="dcmip1-1", statefreq=100,
+              dtype="f64")
+    r_std = run_simulation(Config(**kw), verbose=False)
+    r_t = run_simulation(Config(**kw, use_pallas=True), verbose=False)
+    np.testing.assert_allclose(r_t.q_final, r_std.q_final,
+                               rtol=5e-12, atol=1e-13)
+    np.testing.assert_allclose(r_t.ps_final, r_std.ps_final, rtol=1e-12)
