@@ -92,7 +92,8 @@ def test_ur_weights_formula(qsplit):
 @pytest.mark.parametrize("opts", [dict(qsplit=2),
                                   dict(limiter_option=0),
                                   dict(limiter_option=4),
-                                  dict(hypervis_subcycle_q=2)])
+                                  dict(hypervis_subcycle_q=2,
+                                       limiter_option=0)])
 def test_option_configs_run_and_conserve(opts):
     """Each previously-rejected option is accepted and conserves mass."""
     cfg = Config(ne=2, qsize=2, nmax=3, tstep=600.0, nu_q=6e16, **opts)

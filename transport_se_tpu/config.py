@@ -50,6 +50,10 @@ class Config:
                                   # (limiter); CPU/interpret fallback off
     pallas_eb: int = 8            # elements per fused-kernel invocation
                                   # (multiples of 8: Mosaic 2D-block rule)
+    limiter_chunks: int = 0       # XLA-limiter convergence groups (0 =
+                                  # auto: decoupled per-tracer-batch loops
+                                  # on the f64 verification path; see
+                                  # ops/limiter.py)
     dss_mode: str = "gather"      # gather (BFB partner order) | segsum
                                   # (scatter-add, roundoff reassociation) |
                                   # face (shifted-slice assembly, fastest;
@@ -71,6 +75,11 @@ class Config:
             raise NotImplementedError("only prescribed-wind transport")
         if self.hypervis_subcycle_q < 1:
             raise ValueError("hypervis_subcycle_q must be >= 1")
+        if self.limiter_option == 8 and self.hypervis_subcycle_q != 1:
+            # the reference aborts on this combination
+            # (namelist_mod.F90:689-690)
+            raise ValueError(
+                "limiter 8 requires hypervis_subcycle_q=1")
         if self.dss_mode == "face" and self.elem_order != "raster":
             raise ValueError("dss_mode='face' requires elem_order='raster'")
         if self.vert_remap_q_alg not in (0, 1, 2):

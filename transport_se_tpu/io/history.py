@@ -154,7 +154,13 @@ class HistoryWriter:
         return out
 
     def due(self, nstep: int, cfg) -> bool:
-        """nextoutputstep logic (common_movie_mod.F90:150)."""
+        """Modular output-step test at subcycle granularity.
+
+        Equivalent to the reference's nextoutputstep bookkeeping
+        (common_movie_mod.F90:275-293) whenever the output interval is
+        >= rsplit steps (every shipped namelist); intervals shorter than
+        one subcycle collapse to one output per subcycle here.
+        """
         if self.output_frequency <= 0:
             return False
         if self.output_timeunits == 1:      # days

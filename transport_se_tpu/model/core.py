@@ -53,7 +53,10 @@ from ..grid.cubesphere import Grid, build_grid
 from ..grid.vcoord import HVCoord, hvcoord_acme72, hvcoord_dcmip
 from ..ops import sphere_ops as so
 from ..ops.dss import DssTables
-from ..ops.limiter import limiter_optim_iter_full, limiter2d_zero
+# limiter2d_zero is re-exported for parity only: the reference's CPU
+# euler_step never dispatches it (only option 8 is wired,
+# prim_advection_mod.F90:858,880); it is kept as a tested op.
+from ..ops.limiter import limiter_optim_iter_full, limiter2d_zero  # noqa: F401
 from ..ops.ppm import remap_q_ppm
 from . import dcmip
 
@@ -195,8 +198,17 @@ def euler_step(m: Model, Qdp_n0, qmin, qmax, divdp, divdp_proj, vn0,
             m.spheremp[:, None, None], shp).reshape(flat)
         dps_flat = jnp.broadcast_to(
             dp_star[:, None], shp).reshape(flat)
+        # convergence decoupling (ops/limiter.py): auto on the f64
+        # verification path — chunk so a slow column stalls one group,
+        # not the whole element x tracer x level batch
+        chunks = cfg.limiter_chunks
+        if chunks == 0 and cfg.dtype == "f64":
+            batch = Qtens.shape[0] * Qtens.shape[1] * Qtens.shape[2]
+            chunks = next((c for c in (64, 32, 16, 8, 4, 2, 1)
+                           if batch % c == 0 and batch // c >= 256), 1)
         Qt_flat, qmin, qmax = limiter_optim_iter_full(
-            Qtens.reshape(flat), sp_flat, qmin, qmax, dps_flat)
+            Qtens.reshape(flat), sp_flat, qmin, qmax, dps_flat,
+            chunks=chunks)
         Qtens = Qt_flat.reshape(shp)
     else:
         # limiter_option 0 / 4: the reference's CPU euler_step applies NO

@@ -30,7 +30,8 @@ TOL_LIMITER = 5e-14
 MAX_ITER = 15  # np*np - 1
 
 
-def limiter_optim_iter_full(ptens, sphweights, minp, maxp, dpmass):
+def limiter_optim_iter_full(ptens, sphweights, minp, maxp, dpmass,
+                            chunks: int = 0):
     """Apply the limiter to Q = ptens/dpmass with weights sphweights*dpmass.
 
     Args:
@@ -38,9 +39,33 @@ def limiter_optim_iter_full(ptens, sphweights, minp, maxp, dpmass):
       sphweights: [..., n2]  spectral element weights (spheremp)
       minp, maxp: [...]      bounds (relaxed in-place semantics: returned)
       dpmass:     [..., n2]  pseudo-density
+      chunks:     split the flattened batch into this many groups, each
+                  with its own convergence loop (`lax.map`), so one slow
+                  column stalls only its group instead of the whole batch
+                  (the global while_loop otherwise re-streams every row
+                  per iteration — the dominant f64/CPU verification cost).
+                  0/1 = single loop.  Results are identical either way
+                  (per-row math is independent).
 
     Returns (ptens_out, minp_out, maxp_out).
     """
+    batch = 1
+    for s in ptens.shape[:-1]:
+        batch *= s
+    if chunks > 1 and batch % chunks == 0 and batch // chunks >= 1:
+        n2 = ptens.shape[-1]
+        bshape = ptens.shape[:-1]
+        r2 = lambda a: a.reshape(chunks, batch // chunks, n2)
+        r1 = lambda a: a.reshape(chunks, batch // chunks)
+        out, mn, mx = jax.lax.map(
+            lambda t: _limiter_core(*t),
+            (r2(ptens), r2(sphweights), r1(minp), r1(maxp), r2(dpmass)))
+        return (out.reshape(ptens.shape), mn.reshape(bshape),
+                mx.reshape(bshape))
+    return _limiter_core(ptens, sphweights, minp, maxp, dpmass)
+
+
+def _limiter_core(ptens, sphweights, minp, maxp, dpmass):
     c = sphweights * dpmass
     x = ptens / dpmass
     sumc = jnp.sum(c, axis=-1)

@@ -45,6 +45,12 @@ from ..constants import RREARTH
 TOL_LIMITER = 5e-14
 MAX_ITER = 15
 N2 = 16
+import os as _os
+KERNEL_VERSION = int(_os.environ.get("TSE_EULER_KERNEL", "1"))
+# 1 = roll-based kernel (measured fastest end-to-end on v5e-class chip:
+#     0.486x baseline vs 0.466x for v2 at NE30/35tr)
+# 2 = broadcast/tree kernel (fewer full-width VPU ops on paper; kept as a
+#     tested alternative — the (eb,4,4,L) reshapes relayout in Mosaic)
 
 
 def _repeat_lanes(x, q):
@@ -133,6 +139,182 @@ def _ddy_rolls(X, cy, masks):
         b = pltpu.roll(X, (16 - d + 4) % 16, axis=ax)   # X[p+d-4]
         out = out + ca * a + cb * b
     return out
+
+
+# ---------------------------------------------------------------------------
+# v2 kernel: the same fusion with ~2.5x fewer full-width VPU ops.
+#   * per-level factors (Vstar, metric transform, metdet) fold BEFORE the
+#     tracer broadcast: c1 = rep((Dinv^T vn0)*metdet/dp) * qdp instead of
+#     transforming the full [16, q*k] gradQ
+#   * spectral derivatives as sublane-group broadcast sums on the
+#     [eb, 4, 4, L] view (7 full-width FMAs per application vs 29 roll ops
+#     for the fused pair)
+#   * sublane-16 reductions as an explicit (4, 4) pairwise tree (~1
+#     full-width-op equivalent vs a generic cross-sublane reduce)
+#   * limiter body in clip-residual form (15 full-width ops/iteration)
+# ---------------------------------------------------------------------------
+
+def _sum16(x):
+    """Pairwise tree sum over the 16-point sublane axis.
+
+    x: [eb, 16, L] -> [eb, 1, L].  Exact zeros stay exact (the limiter
+    convergence argument needs only that); ordering differs from a naive
+    left fold by association only.
+    """
+    eb_, _, L_ = x.shape
+    x4 = x.reshape(eb_, 4, 4, L_)
+    s = (x4[:, 0] + x4[:, 1]) + (x4[:, 2] + x4[:, 3])        # [eb, 4, L]
+    return ((s[:, 0:1] + s[:, 1:2]) + (s[:, 2:3] + s[:, 3:4]))
+
+
+def _ddxy_bcast(x1, x2, d):
+    """ddx(x1) + ddy(x2) via sublane-group broadcasts.
+
+    x1, x2: [eb, 16, L] in the (i, j) point raster (slot = i*4 + j);
+    d: [4, 4] GLL derivative, d[l, i] = ell_i'(x_l).
+      ddx: out[(l, j)] = sum_i d[l, i] x1[(i, j)]
+      ddy: out[(i, l)] = sum_s d[l, s] x2[(i, s)]
+    """
+    eb_, _, L_ = x1.shape
+    a = x1.reshape(eb_, 4, 4, L_)
+    b = x2.reshape(eb_, 4, 4, L_)
+    out = None
+    for s in range(4):
+        cl = d[:, s].reshape(1, 4, 1, 1)          # d[l, s] along l
+        t = cl * a[:, s:s + 1, :, :] + cl.reshape(1, 1, 4, 1) \
+            * b[:, :, s:s + 1, :]
+        out = t if out is None else out + t
+    return out.reshape(eb_, 16, L_)
+
+
+def _ddx_bcast(x, d):
+    """ddx alone: out[(l, j)] = sum_i d[l, i] x[(i, j)]."""
+    eb_, _, L_ = x.shape
+    a = x.reshape(eb_, 4, 4, L_)
+    out = None
+    for s in range(4):
+        t = d[:, s].reshape(1, 4, 1, 1) * a[:, s:s + 1, :, :]
+        out = t if out is None else out + t
+    return out.reshape(eb_, 16, L_)
+
+
+def _ddy_bcast(x, d):
+    """ddy alone: out[(i, l)] = sum_s d[l, s] x[(i, s)]."""
+    eb_, _, L_ = x.shape
+    a = x.reshape(eb_, 4, 4, L_)
+    out = None
+    for s in range(4):
+        t = d[:, s].reshape(1, 1, 4, 1) * a[:, :, s:s + 1, :]
+        out = t if out is None else out + t
+    return out.reshape(eb_, 16, L_)
+
+
+def _euler_kernel2(nq, dt, rhs_viss, bih_mode, nu_coef,
+                   qdp_ref, u_ref, v_ref, dp_ref, divdp_ref, met_ref,
+                   qmin_ref, qmax_ref, dmat_ref, dp0_ref, bih_ref,
+                   out_ref, qmin_out_ref, qmax_out_ref):
+    f = qdp_ref.dtype
+    one = jnp.asarray(1.0, f)
+    dmat = dmat_ref[:]                  # [16, 4]: rows 0-3 deriv, 4-7 T
+    d = dmat[0:4]                       # [4, 4] deriv
+    dT = dmat[4:8]                      # [4, 4] deriv^T
+
+    qdp = qdp_ref[...]                  # [eb, 16, L]
+    L = qdp.shape[-1]
+
+    met = met_ref[...]                  # [eb, 7, 16] packed metric vectors
+    sw = lambda i: jnp.swapaxes(met[:, i:i + 1, :], -1, -2)  # [eb,16,1]
+    d00 = sw(0)
+    d01 = sw(1)
+    d10 = sw(2)
+    d11 = sw(3)
+    metdet = sw(4)
+    rmetdet = sw(5)
+    spheremp = sw(6)
+
+    # per-level ([eb,16,k]) precomputation — nq x cheaper than full width
+    dpk = dp_ref[...]
+    divk = divdp_ref[...]
+    rcp_dpk = one / dpk
+    uk = u_ref[...]                     # vn0 components (dp-weighted)
+    vk = v_ref[...]
+    mdd = metdet * rcp_dpk              # one 1/dp: Vstar = vn0/dp
+    A1k = (d00 * uk + d01 * vk) * mdd   # contravariant*metdet/dp factors
+    A2k = (d10 * uk + d11 * vk) * mdd
+    dp_star_k = dpk - jnp.asarray(dt, f) * divk
+    c_k = spheremp * dp_star_k
+    sumc_k = _sum16(c_k)                # [eb, 1, k]
+
+    A1 = _rep_to(A1k, L)
+    A2 = _rep_to(A2k, L)
+    c = _rep_to(c_k, L)
+    rcp_star = _rep_to(one / dp_star_k, L)
+
+    # advection RHS: qtens = qdp - dt*rr*rmetdet * (ddx(A1*qdp)+ddy(A2*qdp))
+    div2 = _ddxy_bcast(A1 * qdp, A2 * qdp, d)
+    srm = jnp.asarray(dt * RREARTH, f) * rmetdet
+    qtens = qdp - srm * div2
+    if bih_mode == 1:
+        qtens = qtens + bih_ref[...]
+    elif bih_mode == 2:
+        # second weak Laplacian of the DSS'd first Laplacian, in-kernel
+        # (viscosity_mod.F90:289-351 back half)
+        b = bih_ref[...]
+        v1 = _ddx_bcast(b, d)
+        v2 = _ddy_bcast(b, d)
+        g1 = d00 * v1 + d10 * v2
+        g2 = d01 * v1 + d11 * v2
+        w1 = (d00 * g1 + d01 * g2) * spheremp
+        w2 = (d10 * g1 + d11 * g2) * spheremp
+        lap2 = -jnp.asarray(RREARTH * RREARTH, f) * _ddxy_bcast(w1, w2, dT)
+        dp0lane = dp0_ref[:]            # [1, L]
+        qtens = qtens + (jnp.asarray(nu_coef, f) * dp0lane) \
+            * lap2 * (one / spheremp)
+
+    # ---- limiter 8 on Q = qtens/dp_star (prim_advection_mod.F90:976) ----
+    x = qtens * rcp_star
+    minp = qmin_ref[...][:, None, :]    # [eb, 1, L]
+    maxp = qmax_ref[...][:, None, :]
+
+    sumc = _rep_to(sumc_k, L)
+    mass = _sum16(c * x)
+    validf = (sumc > 0).astype(f)
+    safe_sumc = jnp.where(sumc > 0, sumc, one)
+    minp = jnp.where(mass < minp * safe_sumc, mass / safe_sumc, minp)
+    maxp = jnp.where(mass > maxp * safe_sumc, mass / safe_sumc, maxp)
+    qmin_out_ref[...] = minp[:, 0, :]
+    qmax_out_ref[...] = maxp[:, 0, :]
+    # f32 convergence: the 5e-14 tolerance passes only when the explicit
+    # clip-residual sum is exactly 0 (nothing clips) — bitwise mass
+    # preservation; see the v1 kernel comment history
+    tol = jnp.asarray(TOL_LIMITER, f) * jnp.abs(mass)
+
+    def body(state):
+        # xcl via clip (exact bound values) and resid = x - xcl (exact
+        # zeros when nothing clips) — the f32 convergence argument needs
+        # both exactness properties; see the v1 kernel comment
+        it, x, _ = state
+        xcl = jnp.clip(x, minp, maxp)
+        resid = x - xcl
+        addmass = _sum16(resid * c)
+        conv = jnp.abs(addmass) <= tol
+        pos = (addmass > 0).astype(f)
+        free = (pos * (xcl < maxp).astype(f)
+                + (one - pos) * (xcl > minp).astype(f))
+        wsum = _sum16(free * c)
+        add = jnp.where(wsum > 0,
+                        addmass / jnp.where(wsum > 0, wsum, one), 0.0)
+        x_next = xcl + jnp.where(conv, 0.0, free * add)
+        return it + 1, x_next, jnp.maximum(conv.astype(f), one - validf)
+
+    def cond(state):
+        it, _, convf = state
+        return (it < MAX_ITER) & (jnp.min(convf) < 0.5)
+
+    _, x, _ = jax.lax.while_loop(cond, body, (0, x, validf * 0.0))
+    # out = spheremp * limited; limited = x*dp_star on valid columns, so
+    # spheremp*x*dp_star = x*c — no dp_star broadcast needed
+    out_ref[...] = validf * (x * c) + (one - validf) * (qtens * spheremp)
 
 
 def _euler_kernel(nq, dt, rhs_viss, bih_mode, nu_coef,
@@ -435,28 +617,44 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
                                    memory_space=pltpu.VMEM)
     blane = pl.BlockSpec((1, qk), lambda e: (0, 0),
                          memory_space=pltpu.VMEM)
-    kernel = functools.partial(_euler_kernel, nq, dt, rhs_viss, bih_mode,
-                               float(nu_coef))
-    out, qmin_o, qmax_o = pl.pallas_call(
-        kernel,
-        grid=(E // eb,),
-        in_specs=[be(qk), be(nk), be(nk), be(nk), be(nk), bmet,
-                  brow, brow, bcoef(4), bcoef(4), bcoef(4),
-                  bcoef(4), bcoef(4), blane,
-                  be(qk if has_bih else 1)],
-        out_specs=(be(qk), brow, brow),
-        out_shape=(jax.ShapeDtypeStruct((E, N2, qk), f),
-                   jax.ShapeDtypeStruct((E, qk), f),
-                   jax.ShapeDtypeStruct((E, qk), f)),
-        # eb=8 with the bih operand slightly exceeds the 16M default
-        # scoped-vmem cap; the chip has headroom
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(qdp_r, u_r, v_r, dp_r, divdp_r, met_pack, qmin_r, qmax_r,
-      jnp.asarray(cx, f), jnp.asarray(cy, f),
-      jnp.asarray(_ddy_mask_mat(), f),
-      jnp.asarray(cxt, f), jnp.asarray(cyt, f), dp0lane, bih_r)
+    cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    out_specs = (be(qk), brow, brow)
+    out_shape = (jax.ShapeDtypeStruct((E, N2, qk), f),
+                 jax.ShapeDtypeStruct((E, qk), f),
+                 jax.ShapeDtypeStruct((E, qk), f))
+    if KERNEL_VERSION == 2:
+        kernel = functools.partial(_euler_kernel2, nq, dt, rhs_viss,
+                                   bih_mode, float(nu_coef))
+        out, qmin_o, qmax_o = pl.pallas_call(
+            kernel,
+            grid=(E // eb,),
+            in_specs=[be(qk), be(nk), be(nk), be(nk), be(nk), bmet,
+                      brow, brow, bcoef(4), blane,
+                      be(qk if has_bih else 1)],
+            out_specs=out_specs, out_shape=out_shape,
+            compiler_params=cp, interpret=interpret,
+        )(qdp_r, u_r, v_r, dp_r, divdp_r, met_pack, qmin_r, qmax_r,
+          jnp.asarray(np.concatenate(
+              [deriv_np, deriv_np.T, np.zeros((8, 4))]), f),
+          dp0lane, bih_r)
+    else:
+        kernel = functools.partial(_euler_kernel, nq, dt, rhs_viss,
+                                   bih_mode, float(nu_coef))
+        out, qmin_o, qmax_o = pl.pallas_call(
+            kernel,
+            grid=(E // eb,),
+            in_specs=[be(qk), be(nk), be(nk), be(nk), be(nk), bmet,
+                      brow, brow, bcoef(4), bcoef(4), bcoef(4),
+                      bcoef(4), bcoef(4), blane,
+                      be(qk if has_bih else 1)],
+            out_specs=out_specs, out_shape=out_shape,
+            # eb=8 with the bih operand slightly exceeds the 16M default
+            # scoped-vmem cap; the chip has headroom
+            compiler_params=cp, interpret=interpret,
+        )(qdp_r, u_r, v_r, dp_r, divdp_r, met_pack, qmin_r, qmax_r,
+          jnp.asarray(cx, f), jnp.asarray(cy, f),
+          jnp.asarray(_ddy_mask_mat(), f),
+          jnp.asarray(cxt, f), jnp.asarray(cyt, f), dp0lane, bih_r)
 
     if transposed:
         return out, qmin_o, qmax_o
