@@ -1,14 +1,25 @@
 #!/usr/bin/env python
-"""Shard-count scaling check: run the sharded subcycle on 1/2/4/8 shards
-of a virtual CPU mesh (or however many real devices exist) and report
-result invariance plus per-step wall time.
+"""Shard-count scaling + overlap A/B on realistic shard sizes.
 
-On the virtual CPU mesh the timing is NOT a performance statement — it
-validates the decomposition (the reference's BFB-under-task-count check,
-README:46-48) and exercises the ppermute halo + overlap ordering.  On a
-real multi-chip slice the same script measures weak/strong scaling.
+Runs the sharded subcycle on 1/2/4/8 shards of a virtual CPU mesh (or
+real devices) and reports result invariance plus per-subcycle wall time.
+Defaults to the NE30 grid (5400 elements: >= 675 elements/shard at 8
+shards — the NE120-per-chip class, not a toy).
 
-Usage: python scripts/bench_scaling.py [--ne 4] [--qsize 8] [--pallas]
+On the virtual CPU mesh the timing is NOT a chip-performance statement —
+it validates the decomposition (the reference's BFB-under-task-count
+check, README:46-48) and catches structural serialization: with 8 virtual
+devices pinned to one core the wall time should stay ~flat as S grows
+(work conserved); growth means the decomposition added O(S) work or
+serialized on collectives.  On a real multi-chip slice the same script
+measures strong scaling directly.
+
+--dss face runs the banded face-shift sharded DSS (the production
+assembly, parallel/face_sharded.py); --overlap-ab additionally times the
+gather path with the boundary-first overlap ordering ON vs OFF.
+
+Usage: python scripts/bench_scaling.py [--ne 30] [--qsize 8]
+           [--pallas] [--dss face] [--overlap-ab]
 """
 
 import argparse
@@ -21,10 +32,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--ne", type=int, default=4)
+    p.add_argument("--ne", type=int, default=30)
     p.add_argument("--nlev", type=int, default=16)
     p.add_argument("--qsize", type=int, default=8)
     p.add_argument("--pallas", action="store_true")
+    p.add_argument("--dss", default=None, choices=[None, "gather", "face"])
+    p.add_argument("--overlap-ab", action="store_true",
+                   help="time the gather path with overlap on vs off")
+    p.add_argument("--reps", type=int, default=3)
     p.add_argument("--virtual", type=int, default=8,
                    help="force N virtual CPU devices (0 = real devices)")
     args = p.parse_args()
@@ -47,10 +62,13 @@ def main():
     from transport_se_tpu.parallel.sharded import (make_mesh,
                                                    make_sharded_subcycle)
 
+    extra = {}
+    if args.dss == "face":
+        extra = dict(dss_mode="face", elem_order="raster")
     cfg = Config(ne=args.ne, nlev=args.nlev, qsize=args.qsize,
                  tstep=1200.0, vcoord=f"dcmip{args.nlev}",
                  test_case="dcmip1-1", nu_q=6e16, nmax=3, dtype="f64",
-                 use_pallas=args.pallas)
+                 use_pallas=args.pallas, **extra)
     m = build_model(cfg)
     Qdp = initial_qdp(m)
     E = m.grid.nelem
@@ -58,7 +76,16 @@ def main():
     ref, *_ = jax.jit(make_subcycle_fn(m))(Qdp, jnp.asarray(0, jnp.int32))
     ref = np.asarray(ref)
     print(f"grid: ne={cfg.ne} E={E} qsize={cfg.qsize} nlev={cfg.nlev} "
-          f"pallas={cfg.use_pallas}")
+          f"pallas={cfg.use_pallas} dss={cfg.dss_mode}", flush=True)
+
+    def timeit(runner, Qs):
+        out, ps, _, _ = runner.step(Qs, jnp.asarray(0, jnp.int32))
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out, ps, _, _ = runner.step(Qs, jnp.asarray(0, jnp.int32))
+        jax.block_until_ready(out)
+        return out, (time.perf_counter() - t0) / args.reps
 
     ndev = len(jax.devices())
     for S in (1, 2, 4, 8):
@@ -67,18 +94,17 @@ def main():
         mesh = make_mesh(jax.devices()[:S])
         runner = make_sharded_subcycle(m, mesh)
         Qs = runner.shard_qdp(Qdp)
-        out, ps, _, _ = runner.step(Qs, jnp.asarray(0, jnp.int32))
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            out, ps, _, _ = runner.step(Qs, jnp.asarray(0, jnp.int32))
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / 3
+        out, dt = timeit(runner, Qs)
         err = np.abs(runner.to_model_order(out) - ref).max()
         rel = err / np.abs(ref).max()
-        print(f"S={S}: halo_rounds={runner.plan.nrounds} "
-              f"nbound={runner.plan.nbound} subcycle={dt*1e3:8.1f} ms "
-              f"max rel diff vs single-device={rel:.2e}")
+        line = (f"S={S}: halo_rounds={runner.plan.nrounds} "
+                f"nbound={runner.plan.nbound} subcycle={dt*1e3:8.1f} ms "
+                f"max rel diff vs single-device={rel:.2e}")
+        if args.overlap_ab and cfg.dss_mode != "face" and S > 1:
+            r_off = make_sharded_subcycle(m, mesh, overlap=False)
+            _, dt_off = timeit(r_off, r_off.shard_qdp(Qdp))
+            line += f"  [overlap off: {dt_off*1e3:8.1f} ms]"
+        print(line, flush=True)
         assert rel < 1e-13, "shard-count invariance violated"
     print("shard-count invariance OK")
 

@@ -43,9 +43,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import RREARTH
 
 TOL_LIMITER = 5e-14
-MAX_ITER = 15
-N2 = 16
 import os as _os
+MAX_ITER = int(_os.environ.get("TSE_MAX_ITER", "15"))  # np*np-1; env
+# override is a PROFILING knob only (lower caps give wrong results)
+N2 = 16
 KERNEL_VERSION = int(_os.environ.get("TSE_EULER_KERNEL", "1"))
 # 1 = roll-based kernel (measured fastest end-to-end on v5e-class chip:
 #     0.486x baseline vs 0.466x for v2 at NE30/35tr)

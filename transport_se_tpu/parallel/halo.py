@@ -59,6 +59,8 @@ class ShardPlan:
     # boundary-first ordering (overlap mode; identity otherwise)
     perm: np.ndarray = None   # [E] int64: new global order -> original id
     nbound: int = 0           # static boundary-group size per shard
+    # halo membership (global element ids per halo slot; face-DSS builder)
+    halo_gid: np.ndarray = None   # [S, nhalo] int64 (-1 = unused slot)
 
 
 def build_shard_plan(grid, nshards: int, overlap: bool = False) -> ShardPlan:
@@ -178,13 +180,17 @@ def build_shard_plan(grid, nshards: int, overlap: bool = False) -> ShardPlan:
                         part_mask[s, lf, c] = True
                     else:
                         part_idx[s, lf, c] = lf
+    halo_gid = np.full((nshards, nhalo), -1, np.int64)
+    for s in range(nshards):
+        for i, e in enumerate(halos[s]):
+            halo_gid[s, i] = e
     return ShardPlan(nshards=nshards, eloc=eloc, nhalo=nhalo,
                      nrounds=nrounds, maxsend=maxsend,
                      send_peer=send_peer, send_elem=send_elem,
                      send_mask=send_mask, recv_slot=recv_slot,
                      recv_mask=recv_mask, perms=tuple(perms),
                      part_idx=part_idx, part_mask=part_mask, nbr=nbr,
-                     perm=perm, nbound=nbound)
+                     perm=perm, nbound=nbound, halo_gid=halo_gid)
 
 
 # ---------------------------------------------------------------------------
@@ -207,6 +213,9 @@ class ShardedDssTables:
     part_mask: jnp.ndarray    # [eloc*16, 3]
     nbr: jnp.ndarray          # [eloc, 9]
     nbound: int = 0           # boundary-group size (overlap ordering)
+    face: object = None       # ShardedFaceTables: banded face-shift
+                              # assembly (parallel/face_sharded.py) in
+                              # place of the partner-table gathers
 
     # -- halo exchange of whole-element slabs ------------------------------
     def _halo_rounds(self, src):
@@ -251,6 +260,11 @@ class ShardedDssTables:
         """DSS on T-layout fields [eloc, 16, B] (point axis second) —
         lets the Pallas/T pipeline (model/core.py euler_step_t) run
         unchanged inside shard_map."""
+        if self.face is not None:
+            from .face_sharded import dss_sum_t_face_band
+            ext = jnp.concatenate(
+                [x_t, self._halo_rounds(x_t)], axis=0)
+            return dss_sum_t_face_band(x_t, ext, self.face)
         return self._dss_from(x_t, self._halo_rounds(x_t))
 
     def dss_sum_t_split(self, xb, xi):

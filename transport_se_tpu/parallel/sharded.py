@@ -57,10 +57,22 @@ class ShardedRunner:
 
 
 def make_sharded_subcycle(m: Model, mesh: Mesh,
-                          diagnostics: bool = False) -> ShardedRunner:
+                          diagnostics: bool = False,
+                          overlap: bool | None = None) -> ShardedRunner:
+    """overlap: force the boundary-first comm/compute overlap ordering on
+    or off (None = auto: on for the gather-DSS Pallas pipeline).  Used by
+    the overlap A/B benchmark (scripts/bench_scaling.py)."""
     S = mesh.devices.size
-    overlap = (m.cfg.use_pallas and m.cfg.limiter_option == 8
-               and not diagnostics)
+    # the banded face DSS requires raster chunk order; the overlap
+    # boundary-first reordering is only used on the gather path
+    use_face = (m.cfg.dss_mode == "face"
+                and getattr(m.tables, "face", None) is not None)
+    if overlap is None:
+        overlap = (m.cfg.use_pallas and m.cfg.limiter_option == 8
+                   and not diagnostics and not use_face)
+    elif overlap and use_face:
+        raise ValueError("overlap ordering is incompatible with the "
+                         "face-sharded DSS (raster order required)")
     plan = build_shard_plan(m.grid, S, overlap=overlap)
     perm = plan.perm
     inv_perm = np.empty_like(perm)
@@ -75,6 +87,12 @@ def make_sharded_subcycle(m: Model, mesh: Mesh,
         part_mask=jnp.asarray(plan.part_mask),
         nbr=jnp.asarray(plan.nbr),
     )
+    face_dims = None
+    if use_face:
+        from .face_sharded import build_sharded_face_tables
+        ftabs = build_sharded_face_tables(m.grid, plan, m.tables.face)
+        face_dims = ftabs.pop("_dims")
+        table_arrays.update({k: jnp.asarray(v) for k, v in ftabs.items()})
     elem_arrays = dict(lon=m.lon, lat=m.lat, D=m.D, Dinv=m.Dinv,
                        metdet=m.metdet, rmetdet=m.rmetdet,
                        spheremp=m.spheremp, rspheremp=m.rspheremp)
@@ -85,10 +103,17 @@ def make_sharded_subcycle(m: Model, mesh: Mesh,
 
     def body(Qdp, nstep, tabs, els):
         # shard_map keeps rank: table arrays arrive as [1, ...] blocks
+        face = None
+        if face_dims is not None:
+            from .face_sharded import tables_from_stack
+            face = tables_from_stack(
+                {k: tabs[k][0] for k in tab_keys if k.startswith("f_")},
+                face_dims)
         tables = ShardedDssTables(
             axis_name=AXIS, eloc=plan.eloc, nhalo=plan.nhalo,
-            perms=plan.perms, nbound=plan.nbound,
-            **{k: tabs[k][0] for k in tab_keys})
+            perms=plan.perms, nbound=plan.nbound, face=face,
+            **{k: tabs[k][0] for k in tab_keys
+               if not k.startswith("f_")})
         ml = dataclasses.replace(m, tables=tables,
                                  **{k: els[k] for k in el_keys})
         step = make_subcycle_fn(ml, diagnostics=diagnostics)
