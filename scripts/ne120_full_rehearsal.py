@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""NE120 FULL-SIZE rehearsal: 35 tracers, 72 levels, 86,400 elements
+through the sharded pipeline on an 8-way virtual CPU mesh.
+
+The reference's headline perf config (reference README:160-192,
+test/run_ne120_perf.sh) has 86400*16*72*35 ~ 3.5e9 gridpoint-tracers;
+the f32 state alone is ~14 GB.  This rehearsal retires the memory-plan
+and shapes-at-scale risk that reduced proxies cannot: the exact
+production shapes, shard plan, halo tables and collectives run end to
+end (one remap interval), with host peak-RSS and per-shard persistent
+state accounting against the 16 GB/chip HBM budget.
+
+Phase 2 exercises the banded face-shift sharded DSS (the production
+multi-chip assembly, parallel/face_sharded.py) at the full 86,400-element
+horizontal scale with a reduced vertical/tracer count (the Pallas kernels
+run in interpret mode on CPU — hours at full vertical size; the
+horizontal-scale table/plan structure is what phase 2 certifies).
+
+Usage: python scripts/ne120_full_rehearsal.py [--phase 1|2|all]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+
+def peak_rss_gb():
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmHWM"):
+                return int(line.split()[1]) / 1e6
+    return -1.0
+
+
+def run_phase(cfg_kwargs, tag, tol):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from transport_se_tpu.config import Config
+    from transport_se_tpu.model.core import build_model, initial_qdp
+    from transport_se_tpu.parallel.sharded import (make_mesh,
+                                                   make_sharded_subcycle)
+
+    t0 = time.time()
+    cfg = Config(**cfg_kwargs)
+    m = build_model(cfg)
+    E = m.grid.nelem
+    print(f"[{tag}] grid+model build: {time.time()-t0:.1f}s (E={E})",
+          flush=True)
+
+    t0 = time.time()
+    mesh = make_mesh()
+    S = mesh.devices.size
+    runner = make_sharded_subcycle(m, mesh)
+    print(f"[{tag}] shard plan ({S} shards): {time.time()-t0:.1f}s, "
+          f"nrounds={runner.plan.nrounds}, nhalo={runner.plan.nhalo}, "
+          f"eloc={runner.plan.eloc}", flush=True)
+
+    # persistent per-shard state accounting (the HBM residents on a real
+    # chip): Qdp + wind/metric/table slices
+    bpe = 4 if cfg.dtype == "f32" else 8
+    qdp_shard = runner.plan.eloc * 16 * cfg.qsize * cfg.nlev * bpe
+    halo_shard = runner.plan.nhalo * 16 * cfg.qsize * cfg.nlev * bpe
+    print(f"[{tag}] per-shard Qdp {qdp_shard/1e9:.2f} GB, halo slab "
+          f"{halo_shard/1e9:.2f} GB (16 GB/chip budget)", flush=True)
+
+    t0 = time.time()
+    Qdp0 = runner.shard_qdp(jax.jit(lambda: initial_qdp(m))())
+    jax.block_until_ready(Qdp0)
+    print(f"[{tag}] init state: {time.time()-t0:.1f}s, host peak RSS "
+          f"{peak_rss_gb():.1f} GB", flush=True)
+
+    t0 = time.time()
+    Qdp, ps_v, nstep, min_dp = runner.step(Qdp0, jnp.asarray(0, jnp.int32))
+    jax.block_until_ready(Qdp)
+    wall = time.time() - t0
+    print(f"[{tag}] 1 remap interval: {wall:.1f}s, host peak RSS "
+          f"{peak_rss_gb():.1f} GB", flush=True)
+
+    sp = m.spheremp[jnp.asarray(runner.plan.perm)]
+    if Qdp.ndim == 3:          # T layout [E, 16, qk]
+        mass0 = np.asarray((Qdp0 * sp.reshape(-1, 16, 1)).sum(axis=(0, 1)))
+        mass1 = np.asarray((Qdp * sp.reshape(-1, 16, 1)).sum(axis=(0, 1)))
+        mass0 = mass0.reshape(cfg.qsize, cfg.nlev).sum(axis=1)
+        mass1 = mass1.reshape(cfg.qsize, cfg.nlev).sum(axis=1)
+    else:
+        mass0 = np.asarray((Qdp0 * sp[:, None, None]).sum(axis=(0, 2, 3, 4)))
+        mass1 = np.asarray((Qdp * sp[:, None, None]).sum(axis=(0, 2, 3, 4)))
+    rel = np.abs(mass1 - mass0) / np.abs(mass0)
+    assert float(min_dp) > 0, "health check failed"
+    assert rel.max() < tol, f"mass drift {rel.max()}"
+    out = dict(tag=tag, E=E, shards=S, eloc=runner.plan.eloc,
+               nrounds=int(runner.plan.nrounds),
+               nhalo=int(runner.plan.nhalo), qsize=cfg.qsize,
+               nlev=cfg.nlev, wall_interval_s=round(wall, 1),
+               qdp_shard_gb=round(qdp_shard / 1e9, 3),
+               host_peak_rss_gb=round(peak_rss_gb(), 1),
+               mass_drift=float(rel.max()), dss=cfg.dss_mode)
+    print(f"[{tag}] OK " + json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--phase", default="all", choices=["1", "2", "all"])
+    p.add_argument("--out", default="artifacts/ne120_rehearsal.json")
+    args = p.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+
+    results = []
+    if args.phase in ("1", "all"):
+        # phase 1: the FULL production size (the reference headline
+        # config's exact shapes), XLA pipeline
+        results.append(run_phase(
+            dict(ne=120, nlev=72, qsize=35, tstep=75.0, vcoord="acme72",
+                 test_case="dcmip1-2", nu_q=1e13, nmax=3, dtype="f32"),
+            "full-72L-35q", 1e-5))
+    if args.phase in ("2", "all"):
+        # phase 2: full horizontal scale through the banded face-shift
+        # sharded DSS + fused T pipeline (interpret-mode kernels)
+        results.append(run_phase(
+            dict(ne=120, nlev=8, qsize=2, tstep=75.0, vcoord="dcmip8",
+                 test_case="dcmip1-2", nu_q=1e13, nmax=3, dtype="f32",
+                 use_pallas=True, dss_mode="face", elem_order="raster"),
+            "face-sharded-8L-2q", 1e-5))
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("rehearsal complete ->", args.out, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -242,7 +242,7 @@ def _tp_back(x_t, shape):
 
 def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
                  dt, rhs_multiplier: int, pre_minmax=None, next_dp=None,
-                 next_lap=False, pre_lap=None):
+                 next_lap=False, pre_lap=None, avg_t=None):
     """euler_step in T layout.  Qt [E,16,L]; divdp/uv [E,16,k];
     qmin/qmax [E,1,L].  L is qk = qsize*nlev, possibly 128-padded
     (lane padding carries zeros end to end so the Pallas DSS needs no
@@ -343,8 +343,10 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
         qmax = jnp.concatenate([qmax_b, qmax_i], axis=0)
         # overlap path: next-stage bound prep stays unfused (the caller
         # falls back to minmax_prep when it receives None)
-        return (m.tables.dss_sum_t_split(out_b, out_i) * rsph, qmin, qmax,
-                None)
+        res = m.tables.dss_sum_t_split(out_b, out_i) * rsph
+        if avg_t is not None:
+            res = (avg_t + 2.0 * res) / 3.0
+        return res, qmin, qmax, None
 
     out_t, qmin, qmax = fused_advect_limit(
         Qt, uv_t, dp_t, divdp_t, qmin, qmax, arrays, float(dt),
@@ -355,7 +357,7 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
             out_t, rsp16, next_dp, nq,
             lap_arrays=arrays if next_lap else None)
         return Qt_new, qmin, qmax, ((nmn, nmx), lapo)
-    Qt_new = m.tables.dss_scale_t(out_t, rsp16)
+    Qt_new = m.tables.dss_scale_t(out_t, rsp16, avg=avg_t)
     return Qt_new, qmin, qmax, None
 
 
@@ -384,10 +386,13 @@ def advect_rk2_t_parts(m: Model, Qt, uv_t, divdp_t, divdp_proj_t, dt_q):
                                         pre_minmax=mm1, next_dp=dp2_t,
                                         next_lap=m.cfg.nu_q > 0)
     mm2, lap2 = nb2 if nb2 is not None else (None, None)
+    # stage 3's DSS epilogue fuses qdp_time_avg (:645-662 u/3 + 2u'/3)
+    # — the returned field is already the time-averaged Qdp'
     Qt3, qmin, qmax, _ = euler_step_t(m, Qt2, qmin, qmax, divdp_t,
                                       divdp_proj_t, uv_t, dt2, 2,
-                                      pre_minmax=mm2, pre_lap=lap2)
-    return (Qt + 2.0 * Qt3) / 3.0, divdp_proj_t
+                                      pre_minmax=mm2, pre_lap=lap2,
+                                      avg_t=Qt)
+    return Qt3, divdp_proj_t
 
 
 def advect_rk2_t(m: Model, Qt, vn0, dt_q):

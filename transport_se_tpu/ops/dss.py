@@ -93,13 +93,18 @@ class DssTables:
         contrib = jnp.where(self.part_mask[..., None], partners, 0)
         return (xf + contrib.sum(axis=1)).reshape(x_t.shape)
 
-    def dss_scale_t(self, x_t, rsp):
+    def dss_scale_t(self, x_t, rsp, avg=None):
         """rsp * DSS(x_t) on T-layout fields; rsp [E, 16].  Face mode runs
-        the fused Pallas kernel (ops/pallas_dss.py)."""
+        the fused Pallas kernel (ops/pallas_dss.py).  avg: optional
+        previous-timestep field — fused qdp_time_avg epilogue,
+        out = (avg + 2*rsp*DSS(x_t))/3 (prim_advection_mod.F90:645-662)."""
         if self.mode == "face":
             from .pallas_dss import dss_face_pallas
-            return dss_face_pallas(x_t, self.face, rsp=rsp)
-        return self.dss_sum_t(x_t) * rsp[:, :, None]
+            return dss_face_pallas(x_t, self.face, rsp=rsp, avg=avg)
+        out = self.dss_sum_t(x_t) * rsp[:, :, None]
+        if avg is not None:
+            out = (avg + 2.0 * out) / 3.0
+        return out
 
     def dss_scale_minmax_t(self, x_t, rsp, dp, nq, lap_arrays=None):
         """Fused rsp*DSS(x_t) plus next-stage limiter-bound prep:

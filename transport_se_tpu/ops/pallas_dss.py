@@ -43,10 +43,11 @@ def _pick_by(ne: int, bc: int) -> int:
 
 
 def _dss_face_kernel(by, ne, nlev, with_scale, with_minmax, with_lap,
+                     with_avg,
                      x_ref, xu_ref, xd_ref,
                      gpx_ref, gmx_ref, gpy_ref, gmy_ref,
                      rsp_ref, dp_ref, met_ref, cx_ref, cy_ref,
-                     cxt_ref, cyt_ref, mask_ref,
+                     cxt_ref, cyt_ref, mask_ref, avg_ref,
                      out_ref, qmin_ref=None, qmax_ref=None, lap_ref=None):
     f = x_ref.dtype
     r = pl.program_id(1)
@@ -110,6 +111,13 @@ def _dss_face_kernel(by, ne, nlev, with_scale, with_minmax, with_lap,
 
     if with_scale:
         res = res * rsp_ref[0][..., None]
+    if with_avg:
+        # fused qdp_time_avg (prim_advection_mod.F90:645-662 u/3 + 2u'/3):
+        # out = (qprev + 2*res) / 3 — saves the separate elementwise
+        # pass's two extra HBM trips of the field
+        # divide (not *1/3): bitwise-matches the unfused (q + 2*q3)/3
+        res = (avg_ref[0] + jnp.asarray(2.0, f) * res) \
+            / jnp.asarray(3.0, f)
     out_ref[0] = res
     if with_minmax:
         # lane l of chunk b holds level (b*bc + l) % nlev (lanes are the
@@ -160,7 +168,7 @@ def _dss_face_kernel(by, ne, nlev, with_scale, with_minmax, with_lap,
 
 
 def dss_face_pallas(x_t, ft, rsp=None, dp=None, nlev=None, interpret=None,
-                    lap_arrays=None):
+                    lap_arrays=None, avg=None):
     """Face-shift DSS on x_t [E, 16, B] (raster face order).
 
     rsp: optional [E, 16] rspheremp — fused post-scale (make_C0).
@@ -170,6 +178,9 @@ def dss_face_pallas(x_t, ft, rsp=None, dp=None, nlev=None, interpret=None,
     lap_arrays: optional dict(Dinv, spheremp, deriv) — additionally emit
          laplace_sphere_wk(out/dp) (requires dp); appended to the return
          tuple.
+    avg: optional [E, 16, B] previous-timestep field — fuse qdp_time_avg:
+         out = (avg + 2*scaled)/3 (prim_advection_mod.F90:645-662;
+         requires rsp).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -180,6 +191,9 @@ def dss_face_pallas(x_t, ft, rsp=None, dp=None, nlev=None, interpret=None,
     with_lap = lap_arrays is not None
     if with_lap and not with_minmax:
         raise ValueError("lap fusion requires dp")
+    with_avg = avg is not None
+    if with_avg and rsp is None:
+        raise ValueError("avg fusion requires rsp")
     if with_minmax:
         nlev = dp.shape[-1]
         if rsp is None:
@@ -277,14 +291,26 @@ def dss_face_pallas(x_t, ft, rsp=None, dp=None, nlev=None, interpret=None,
                             memory_space=pltpu.VMEM)
         cx = cy = cxt = cyt = np.zeros((nn, 4))
 
+    if with_avg:
+        if Bp != B:
+            avg = jnp.pad(avg, ((0, 0), (0, 0), (0, Bp - B)))
+        avg6 = avg.reshape(6, ne, ne, nn, Bp).astype(f)
+        bavg = bmain
+    else:
+        avg6 = jnp.zeros((6, 1, 1, 1, 1), f)
+        bavg = pl.BlockSpec((1, 1, 1, 1, 1),
+                            lambda face, r, b: (face, 0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     kernel = functools.partial(_dss_face_kernel, by, ne, nlev,
-                               rsp is not None, with_minmax, with_lap)
+                               rsp is not None, with_minmax, with_lap,
+                               with_avg)
     outs = pl.pallas_call(
         kernel,
         grid=(6, nr, nb),
         in_specs=[bmain, brow_up, brow_dn,
                   bstrip, bstrip, bstrip, bstrip, brsp, bdp, bmet,
-                  bcoef, bcoef, bcoef, bcoef, bcoef],
+                  bcoef, bcoef, bcoef, bcoef, bcoef, bavg],
         out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
         out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
         # the lap-epilogue variant carries two full outputs + metric
@@ -295,7 +321,7 @@ def dss_face_pallas(x_t, ft, rsp=None, dp=None, nlev=None, interpret=None,
     )(x6, x6, x6, gpx, gmx, gpy, gmy, rsp6, dp6, met5,
       jnp.asarray(cx, f), jnp.asarray(cy, f),
       jnp.asarray(cxt, f), jnp.asarray(cyt, f),
-      jnp.asarray(_ddy_mask_mat(), f))
+      jnp.asarray(_ddy_mask_mat(), f), avg6)
 
     if with_minmax:
         ret = [outs[0].reshape(E, nn, Bp)[..., :B],

@@ -285,9 +285,13 @@ class ShardedDssTables:
         contrib = jnp.where(self.part_mask[..., None], partners, 0)
         return (own + contrib.sum(axis=1)).reshape(x_t.shape)
 
-    def dss_scale_t(self, x_t, rsp):
-        """rsp * DSS(x_t); same interface as DssTables.dss_scale_t."""
-        return self.dss_sum_t(x_t) * rsp[:, :, None]
+    def dss_scale_t(self, x_t, rsp, avg=None):
+        """rsp * DSS(x_t); same interface as DssTables.dss_scale_t.
+        avg: optional fused qdp_time_avg, out = (avg + 2*scaled)/3."""
+        out = self.dss_sum_t(x_t) * rsp[:, :, None]
+        if avg is not None:
+            out = (avg + 2.0 * out) / 3.0
+        return out
 
     def dss_scale_minmax_t(self, x_t, rsp, dp, nq, lap_arrays=None):
         """Fused-interface fallback: DSS+scale then the bound prep; no
