@@ -50,15 +50,26 @@ def main():
         Qdp = jax.jit(lambda x: _tp(x, E, cfg.qsize * cfg.nlev))(Qdp)
     nstep = jnp.asarray(0, jnp.int32)
 
+    import numpy as np
+
     # warmup (compile + 1 interval)
     Qdp_w, ps, nstep_w, _ = step(Qdp, nstep)
     jax.block_until_ready(Qdp_w)
 
+    # block_until_ready through the axon tunnel can return before
+    # execution completes (scripts/probe_timing.py) — fence with a 4-byte
+    # host pull and subtract its separately measured round-trip latency
+    _ = np.asarray(Qdp_w.ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(4):
+        _ = np.asarray(Qdp_w.ravel()[0])
+    rtt = (time.perf_counter() - t0) / 4
+
     t0 = time.perf_counter()
     for _ in range(SUBCYCLES):
         Qdp, ps, nstep, _ = step(Qdp, nstep)
-    jax.block_until_ready(Qdp)
-    wall = time.perf_counter() - t0
+    _ = np.asarray(Qdp.ravel()[0])
+    wall = time.perf_counter() - t0 - rtt
 
     steps = SUBCYCLES * cfg.rsplit
     gpt = steps * m.grid.nelem * 16 * cfg.nlev * cfg.qsize

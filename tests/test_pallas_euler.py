@@ -81,6 +81,58 @@ def test_fused_with_biharmonic_term(setup):
                                rtol=1e-11, atol=1e-9)
 
 
+@pytest.mark.parametrize("version", [2, 3])
+def test_kernel_versions_match_xla_stage(setup, version, monkeypatch):
+    """The alternative kernels (broadcast/tree v2, MXU-derivative v3)
+    reproduce the XLA stage like the default roll kernel does."""
+    from transport_se_tpu.ops import pallas_euler
+    monkeypatch.setattr(pallas_euler, "KERNEL_VERSION", version)
+    m, Qdp, vn0, dp, divdp, qmin, qmax = setup
+    dt = 600.0
+    want, wmin, wmax = _xla_stage(m, Qdp, vn0, dp, divdp, qmin, qmax, dt)
+    got, gmin, gmax = fused_advect_limit(
+        Qdp, vn0, dp, divdp, qmin, qmax, _model_arrays(m), dt,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-11, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gmin), np.asarray(wmin),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(gmax), np.asarray(wmax),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_kernel_v3_bih_mode2_matches_v1(setup, monkeypatch):
+    """MXU kernel parity on the transposed stage-2 path (in-kernel second
+    Laplacian, bih_mode=2) against the tested roll kernel."""
+    from transport_se_tpu.model.core import _tp
+    from transport_se_tpu.ops import pallas_euler
+    m, Qdp, vn0, dp, divdp, qmin, qmax = setup
+    E = m.grid.nelem
+    nq, nk = CFG.qsize, CFG.nlev
+    qk = nq * nk
+    Qt = _tp(Qdp, E, qk)
+    u_t = _tp(vn0[:, :, 0], E, nk)
+    v_t = _tp(vn0[:, :, 1], E, nk)
+    dp_t = _tp(dp, E, nk)
+    divdp_t = _tp(divdp, E, nk)
+    bih_t = 1e-4 * jnp.sin(Qt)
+    args = (Qt, (u_t, v_t), dp_t, divdp_t,
+            qmin.reshape(E, qk), qmax.reshape(E, qk), _model_arrays(m),
+            600.0)
+    kw = dict(rhs_viss=3, bih=bih_t, bih_mode=2, nu_coef=1e-6,
+              dp0=m.dp0ref, transposed=True, nq=nq, interpret=True)
+    monkeypatch.setattr(pallas_euler, "KERNEL_VERSION", 1)
+    want, wmin, wmax = fused_advect_limit(*args, **kw)
+    monkeypatch.setattr(pallas_euler, "KERNEL_VERSION", 3)
+    got, gmin, gmax = fused_advect_limit(*args, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-11, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gmin), np.asarray(wmin),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(gmax), np.asarray(wmax),
+                               rtol=1e-12, atol=1e-14)
+
+
 def test_fused_mass_conservation(setup):
     m, Qdp, vn0, dp, divdp, qmin, qmax = setup
     got, _, _ = fused_advect_limit(

@@ -433,10 +433,11 @@ def vertical_remap_t(m: Model, Qt, divdp_proj_t, dt_remap):
     if m.cfg.use_pallas:
         # VMEM-resident PPM kernel (~2 HBM passes)
         from ..ops.pallas_ppm import remap_q_ppm_pallas_t
-        # eb=2: the PPM kernel carries ~35 [16, qk] intermediates in
-        # VMEM; eb=3 exceeds the 16MB scoped-vmem limit at qsize=35
+        # eb=8 with the raised scoped-vmem cap (the ~35 [eb,16,qk]
+        # intermediates fit well under 100M); fewer grid steps = less
+        # per-block overhead than the old eb=2
         Qnew_t = remap_q_ppm_pallas_t(Qt, dp_star, dp_ref,
-                                      alg=m.cfg.vert_remap_q_alg, eb=2)
+                                      alg=m.cfg.vert_remap_q_alg, eb=8)
         return Qnew_t, ps_v.reshape(E, 4, 4), min_dp
     Qcol = Qt.reshape(E, 16, nq, nk)
     # chunk the element axis: the XLA PPM working set (parabola

@@ -31,14 +31,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 from ..constants import RREARTH
 from .pallas_euler import (_ddx_rolls, _ddy_mask_mat, _ddy_rolls,
                            _roll_coeffs)
 
+# lane-chunk width of the face-DSS grid (bigger chunks = fewer ghost-strip
+# re-DMAs per row block, larger row blocks via _pick_by's byte cap)
+DSS_BC = int(_os.environ.get("TSE_DSS_BC", "128"))
+DSS_BLOCK_CAP = int(_os.environ.get("TSE_DSS_BLOCK_CAP", "2000000"))
+
 
 def _pick_by(ne: int, bc: int) -> int:
-    """Row-block height: divisor of ne, block size <= ~2 MB."""
-    cap = max(1, 2_000_000 // (ne * 16 * bc * 4))
+    """Row-block height: divisor of ne, block size <= DSS_BLOCK_CAP."""
+    cap = max(1, DSS_BLOCK_CAP // (ne * 16 * bc * 4))
     return max(d for d in range(1, ne + 1) if ne % d == 0 and d <= cap)
 
 
@@ -204,7 +211,7 @@ def dss_face_pallas(x_t, ft, rsp=None, dp=None, nlev=None, interpret=None,
     Bp = -(-B // 128) * 128
     if Bp != B:
         x_t = jnp.pad(x_t, ((0, 0), (0, 0), (0, Bp - B)))
-    bc = 128 if Bp % 128 == 0 else Bp
+    bc = DSS_BC if Bp % DSS_BC == 0 else (128 if Bp % 128 == 0 else Bp)
     while Bp % bc:
         bc = Bp
     by = _pick_by(ne, bc)

@@ -47,9 +47,24 @@ import os as _os
 MAX_ITER = int(_os.environ.get("TSE_MAX_ITER", "15"))  # np*np-1; env
 # override is a PROFILING knob only (lower caps give wrong results)
 N2 = 16
-KERNEL_VERSION = int(_os.environ.get("TSE_EULER_KERNEL", "1"))
-# 1 = roll-based kernel (measured fastest end-to-end on v5e-class chip:
-#     0.486x baseline vs 0.466x for v2 at NE30/35tr)
+# v3 limiter lane-group width (128-aligned); 0 = one group (whole tile).
+# Smaller groups exit the data-dependent limiter loop earlier on smooth
+# lanes at the cost of more unrolled loop bodies.
+LIM_GROUP_LANES = int(_os.environ.get("TSE_LIM_GROUP_LANES", "512"))
+# v3 MXU matmul precision: "highest" = 6-pass bf16 (f32-equivalent,
+# 1.6e-7 vs rolls), "high" = 3-pass, "default" = 1-pass bf16 (4.8e-3 —
+# profiling only)
+MXU_PRECISION = {"default": jax.lax.Precision.DEFAULT,
+                 "high": jax.lax.Precision.HIGH,
+                 "highest": jax.lax.Precision.HIGHEST}[
+                     _os.environ.get("TSE_MXU_PREC", "highest")]
+KERNEL_VERSION = int(_os.environ.get("TSE_EULER_KERNEL", "3"))
+# 3 = MXU kernel (default): point-axis derivatives as block-diagonal
+#     [128,128] matmuls over the [eb*16, L] view (requires eb = 8, else
+#     falls back to v1) + lane-group-decoupled limiter.  Measured
+#     NE30/35tr advection stage: 26.0 ms vs 35.2 ms for v1
+#     (scripts/bench_euler_ab.py, pull-fenced).
+# 1 = roll-based kernel (previous default; all-VPU)
 # 2 = broadcast/tree kernel (fewer full-width VPU ops on paper; kept as a
 #     tested alternative — the (eb,4,4,L) reshapes relayout in Mosaic)
 
@@ -103,6 +118,29 @@ def _roll_coeffs(deriv: np.ndarray, transpose: bool):
                 cx[l * n + j, d] = w
                 cy[j * n + l, d] = w
     return cx, cy
+
+
+def _mxu_weights(deriv: np.ndarray) -> np.ndarray:
+    """Block-diagonal MXU derivative weights, stacked [2*128, 128].
+
+    With eb = 8 elements per grid step the [eb, 16, L] operand views as
+    [128, L], and a point-axis derivative over all 8 elements is ONE
+    128-contraction matmul with a block-diagonal weight — full MXU
+    utilization (the 16x16 per-element blocks are dense on the diagonal;
+    the zeros off-diagonal cost nothing on a systolic array).  Per-element
+    blocks: d/dx = D (x) I4 (contract the i index of the (i,j) point
+    raster), d/dy = I4 (x) D (contract j).  Precision HIGHEST keeps the
+    result within f32 roundoff of the roll path (measured 1.6e-7 max rel,
+    scripts/microbench_deriv.py)."""
+    n = deriv.shape[0]
+    n2 = n * n
+    blocks = [np.kron(deriv, np.eye(n)), np.kron(np.eye(n), deriv)]
+    w = np.zeros((len(blocks) * 128, 128))
+    for s, blk in enumerate(blocks):
+        for b in range(128 // n2):
+            r = s * 128 + b * n2
+            w[r:r + n2, b * n2:(b + 1) * n2] = blk
+    return w
 
 
 def _ddy_mask_mat():
@@ -450,6 +488,151 @@ def _euler_kernel(nq, dt, rhs_viss, bih_mode, nu_coef,
     out_ref[...] = spheremp * limited
 
 
+def _euler_kernel3(nq, dt, rhs_viss, bih_mode, nu_coef,
+                   qdp_ref, u_ref, v_ref, dp_ref, divdp_ref, met_ref,
+                   qmin_ref, qmax_ref, w_ref, cx_ref, cy_ref, mask_ref,
+                   cxt_ref, cyt_ref, dp0_ref, bih_ref,
+                   out_ref, qmin_out_ref, qmax_out_ref):
+    """v1 fusion with the advection divergence on the MXU.
+
+    The advection RHS and (on stage 2) the in-kernel second Laplacian are
+    the only cross-point operations; everything else is lane-local.  The
+    divergence's two derivative applications run as [128,128] x [128,L]
+    matmuls against a block-diagonal weight (_mxu_weights) on the
+    [eb*16, L] view — the MXU does them while the VPU keeps the limiter.
+    The stage-2 Laplacian pair stays on VPU rolls: its four applications
+    at HIGHEST matmul precision (6 bf16 passes each) cost more MXU time
+    than the rolls cost VPU time (measured: v3-all-MXU bih stage 38.9 ms
+    vs v1 38.8; rolls-lap2 hybrid keeps the 9 ms advection win)."""
+    f = qdp_ref.dtype
+    one = jnp.asarray(1.0, f)
+
+    qdp = qdp_ref[...]                 # [eb, 16, L]
+    eb_, _, L = qdp.shape
+
+    def mm(w, x):
+        xf = x.reshape(eb_ * 16, L)
+        o = jax.lax.dot_general(w, xf, (((1,), (0,)), ((), ())),
+                                precision=MXU_PRECISION,
+                                preferred_element_type=f)
+        return o.reshape(eb_, 16, L)
+
+    w_all = w_ref[...]
+    wx = w_all[0:128]
+    wy = w_all[128:256]
+
+    met = met_ref[...]
+    sw = lambda i: jnp.swapaxes(met[:, i:i + 1, :], -1, -2)  # [eb,16,1]
+    d00 = sw(0)
+    d01 = sw(1)
+    d10 = sw(2)
+    d11 = sw(3)
+    metdet = sw(4)
+    rmetdet = sw(5)
+    spheremp = sw(6)
+
+    dpk = dp_ref[...]                  # [eb, 16, k]
+    divk = divdp_ref[...]
+    rcp_dpk = one / dpk
+    u = _rep_to(u_ref[...] * rcp_dpk, L)
+    v = _rep_to(v_ref[...] * rcp_dpk, L)
+    dp_star_k = dpk - jnp.asarray(dt, f) * divk
+    c_k = spheremp * dp_star_k
+    sumc_k = jnp.sum(c_k, axis=-2, keepdims=True)
+    c = _rep_to(c_k, L)
+    rcp_star = _rep_to(one / dp_star_k, L)
+
+    gu = u * qdp
+    gv = v * qdp
+    c1 = (d00 * gu + d01 * gv) * metdet
+    c2 = (d10 * gu + d11 * gv) * metdet
+    div = (mm(wx, c1) + mm(wy, c2)) * rmetdet * jnp.asarray(RREARTH, f)
+
+    qtens = qdp - jnp.asarray(dt, f) * div
+    if bih_mode == 1:
+        qtens = qtens + bih_ref[...]
+    elif bih_mode == 2:
+        # second weak Laplacian of the DSS'd first Laplacian
+        # (viscosity_mod.F90:289-351 back half) on VPU rolls — see the
+        # kernel docstring for why not MXU
+        b = bih_ref[...]
+        cxj = cx_ref[:]
+        cyj = cy_ref[:]
+        masks = mask_ref[:]
+        v1 = _ddx_rolls(b, cxj)
+        v2 = _ddy_rolls(b, cyj, masks)
+        g1 = d00 * v1 + d10 * v2
+        g2 = d01 * v1 + d11 * v2
+        w1 = (d00 * g1 + d01 * g2) * spheremp
+        w2 = (d10 * g1 + d11 * g2) * spheremp
+        lap2 = -jnp.asarray(RREARTH * RREARTH, f) \
+            * (_ddx_rolls(w1, cxt_ref[:]) + _ddy_rolls(w2, cyt_ref[:],
+                                                       masks))
+        dp0lane = dp0_ref[:]
+        qtens = qtens + jnp.asarray(nu_coef, f) * dp0lane \
+            * lap2 * (one / spheremp)
+
+    # ---- limiter 8, lane-group decoupled ----
+    # The limiter is lane-local (each (tracer, level) column iterates over
+    # its own 16 points), so the lane axis splits exactly into independent
+    # while_loops over 128-aligned groups: a group whose columns all
+    # converge (smooth tracers — most of them) exits after one iteration
+    # instead of riding along for the tile's worst column.  Same math,
+    # same results, bitwise.
+    x_all = qtens * rcp_star
+    minp_all = qmin_ref[...][:, None, :]
+    maxp_all = qmax_ref[...][:, None, :]
+    sumc_all = _rep_to(sumc_k, L)
+    group = LIM_GROUP_LANES if LIM_GROUP_LANES > 0 else L
+    for g0 in range(0, L, group):
+        g1 = min(g0 + group, L)
+        sl = slice(g0, g1)
+        x = x_all[..., sl]
+        c_g = c[..., sl]
+        minp = minp_all[..., sl]
+        maxp = maxp_all[..., sl]
+        sumc = sumc_all[..., sl]
+
+        mass = jnp.sum(c_g * x, axis=-2, keepdims=True)
+        validf = (sumc > 0).astype(f)
+        safe_sumc = jnp.where(sumc > 0, sumc, one)
+        minp = jnp.where(mass < minp * safe_sumc, mass / safe_sumc, minp)
+        maxp = jnp.where(mass > maxp * safe_sumc, mass / safe_sumc, maxp)
+        qmin_out_ref[:, sl] = minp[:, 0, :]
+        qmax_out_ref[:, sl] = maxp[:, 0, :]
+        tol = jnp.asarray(TOL_LIMITER, f) * jnp.abs(mass)
+
+        def body(state, minp=minp, maxp=maxp, c_g=c_g, tol=tol,
+                 validf=validf):
+            # clip-residual form (see the v1/v2 kernel comments: the
+            # explicit residual sum is exactly 0 when nothing clips,
+            # which is the f32 convergence argument)
+            it, x, _ = state
+            xcl = jnp.clip(x, minp, maxp)
+            resid = x - xcl
+            addmass = jnp.sum(resid * c_g, axis=-2, keepdims=True)
+            conv = jnp.abs(addmass) <= tol
+            pos = addmass > 0
+            free = jnp.where(pos, (xcl < maxp).astype(f),
+                             (xcl > minp).astype(f))
+            fc = free * c_g
+            wsum = jnp.sum(fc, axis=-2, keepdims=True)
+            add = jnp.where(wsum > 0,
+                            addmass / jnp.where(wsum > 0, wsum, one), 0.0)
+            x_next = xcl + free * jnp.where(conv, 0.0, add)
+            return it + 1, x_next, jnp.maximum(conv.astype(f),
+                                               one - validf)
+
+        def cond(state):
+            it, _, convf = state
+            return (it < MAX_ITER) & (jnp.min(convf) < 0.5)
+
+        _, x, _ = jax.lax.while_loop(cond, body, (0, x, validf * 0.0))
+        # spheremp*x*dp_star = x*c — skips the dp_star lane-rep
+        out_ref[:, :, sl] = validf * (x * c_g) \
+            + (one - validf) * (qtens[..., sl] * spheremp)
+
+
 def _laplace_kernel(eb, s_ref, d00_ref, d01_ref, d10_ref, d11_ref,
                     spheremp_ref, cx_ref, cy_ref, cxt_ref, cyt_ref,
                     mask_ref, out_ref):
@@ -623,7 +806,26 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
     out_shape = (jax.ShapeDtypeStruct((E, N2, qk), f),
                  jax.ShapeDtypeStruct((E, qk), f),
                  jax.ShapeDtypeStruct((E, qk), f))
-    if KERNEL_VERSION == 2:
+    if KERNEL_VERSION == 3 and eb * N2 == 128:
+        kernel = functools.partial(_euler_kernel3, nq, dt, rhs_viss,
+                                   bih_mode, float(nu_coef))
+        out, qmin_o, qmax_o = pl.pallas_call(
+            kernel,
+            grid=(E // eb,),
+            in_specs=[be(qk), be(nk), be(nk), be(nk), be(nk), bmet,
+                      brow, brow,
+                      pl.BlockSpec((2 * 128, 128), lambda e: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      bcoef(4), bcoef(4), bcoef(4), bcoef(4), bcoef(4),
+                      blane, be(qk if has_bih else 1)],
+            out_specs=out_specs, out_shape=out_shape,
+            compiler_params=cp, interpret=interpret,
+        )(qdp_r, u_r, v_r, dp_r, divdp_r, met_pack, qmin_r, qmax_r,
+          jnp.asarray(_mxu_weights(deriv_np), f),
+          jnp.asarray(cx, f), jnp.asarray(cy, f),
+          jnp.asarray(_ddy_mask_mat(), f),
+          jnp.asarray(cxt, f), jnp.asarray(cyt, f), dp0lane, bih_r)
+    elif KERNEL_VERSION == 2:
         kernel = functools.partial(_euler_kernel2, nq, dt, rhs_viss,
                                    bih_mode, float(nu_coef))
         out, qmin_o, qmax_o = pl.pallas_call(

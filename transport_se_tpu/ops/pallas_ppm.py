@@ -262,5 +262,10 @@ def remap_q_ppm_pallas_t(Qt, dp_star, dp_ref, alg=0, interpret=None,
         in_specs=[be(qk), be(nk), be(nk), bm],
         out_specs=be(qk),
         out_shape=jax.ShapeDtypeStruct((E, N2, qk), f),
+        # the ~35 [eb,16,qk] intermediates exceed the 16M default scoped
+        # vmem at eb >= 3; the chip has headroom (same cap as the euler
+        # kernel)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(Qt, dp_star, dp_ref, masks)
