@@ -52,10 +52,10 @@ def bench(name, fn, key=None, n=10):
     print(f"{name:<40} {t*1e3:9.2f} ms{tag}", flush=True)
 
 
-for bc, cap in [(128, 2_000_000), (256, 2_000_000), (512, 2_000_000),
+# the kernel pads lanes to a 128 multiple internally (Bp = 2560 here),
+# so DSS_BC only needs to divide Bp, not qk
+for bc, cap in [(256, 2_000_000), (512, 2_000_000),
                 (512, 8_000_000), (2560, 8_000_000)]:
-    if qk % 128 and bc != 128:
-        continue
     pallas_dss.DSS_BC = bc
     pallas_dss.DSS_BLOCK_CAP = cap
     bench(f"dss_scale_t bc={bc} cap={cap//1_000_000}M",

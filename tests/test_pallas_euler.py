@@ -133,6 +133,40 @@ def test_kernel_v3_bih_mode2_matches_v1(setup, monkeypatch):
                                rtol=1e-12, atol=1e-14)
 
 
+@pytest.mark.parametrize("version", [1, 3])
+def test_element_axis_padding(setup, version, monkeypatch):
+    """E not divisible by 8 (sharded eloc, e.g. 675 at NE30/8 shards) runs
+    via benign element padding, not an eb=E megablock; per-element math
+    means a 20-element slice must reproduce the full run exactly."""
+    from transport_se_tpu.ops import pallas_euler
+    monkeypatch.setattr(pallas_euler, "KERNEL_VERSION", version)
+    m, Qdp, vn0, dp, divdp, qmin, qmax = setup
+    full = fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax,
+                              _model_arrays(m), 600.0, interpret=True)
+    arrs = {k: (v[:20] if k != "deriv" else v)
+            for k, v in _model_arrays(m).items()}
+    part = fused_advect_limit(Qdp[:20], vn0[:20], dp[:20], divdp[:20],
+                              qmin[:20], qmax[:20], arrs, 600.0,
+                              interpret=True)
+    for a, b in zip(part, full):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[:20])
+
+
+def test_rhs_bf16_flag_plumbs(setup, monkeypatch):
+    """rhs_bf16 only relaxes the v3 matmul precision — in interpret mode
+    (CPU) DEFAULT precision is full-width, so results must be identical;
+    the real-chip audit is scripts/audit_bf16.py."""
+    from transport_se_tpu.ops import pallas_euler
+    monkeypatch.setattr(pallas_euler, "KERNEL_VERSION", 3)
+    m, Qdp, vn0, dp, divdp, qmin, qmax = setup
+    a = fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax,
+                           _model_arrays(m), 600.0, interpret=True)[0]
+    b = fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax,
+                           _model_arrays(m), 600.0, interpret=True,
+                           rhs_bf16=True)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_mass_conservation(setup):
     m, Qdp, vn0, dp, divdp, qmin, qmax = setup
     got, _, _ = fused_advect_limit(

@@ -54,6 +54,10 @@ class Config:
                                   # auto: decoupled per-tracer-batch loops
                                   # on the f64 verification path; see
                                   # ops/limiter.py)
+    rhs_bf16: bool = False        # advection-divergence matmuls at bf16
+                                  # (1-pass MXU) with f32 limiter state —
+                                  # perf knob, audited by
+                                  # scripts/audit_bf16.py; v3 kernel only
     dss_mode: str = "gather"      # gather (BFB partner order) | segsum
                                   # (scatter-add, roundoff reassociation) |
                                   # face (shifted-slice assembly, fastest;

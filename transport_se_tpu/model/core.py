@@ -335,7 +335,8 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
                 qmin[sl], qmax[sl], a_sl, float(dt), rhs_viss=rhs_viss,
                 bih=None if bih_t is None else bih_t[sl],
                 bih_mode=bih_mode, nu_coef=nu_coef, dp0=m.dp0ref,
-                transposed=True, nq=nq, eb=cfg.pallas_eb)
+                transposed=True, nq=nq, eb=cfg.pallas_eb,
+                rhs_bf16=cfg.rhs_bf16)
 
         out_b, qmin_b, qmax_b = run(slice(0, nb))
         out_i, qmin_i, qmax_i = run(slice(nb, None))
@@ -351,7 +352,8 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
     out_t, qmin, qmax = fused_advect_limit(
         Qt, uv_t, dp_t, divdp_t, qmin, qmax, arrays, float(dt),
         rhs_viss=rhs_viss, bih=bih_t, bih_mode=bih_mode, nu_coef=nu_coef,
-        dp0=m.dp0ref, transposed=True, nq=nq, eb=cfg.pallas_eb)
+        dp0=m.dp0ref, transposed=True, nq=nq, eb=cfg.pallas_eb,
+        rhs_bf16=cfg.rhs_bf16)
     if next_dp is not None:
         Qt_new, nmn, nmx, lapo = m.tables.dss_scale_minmax_t(
             out_t, rsp16, next_dp, nq,

@@ -488,7 +488,7 @@ def _euler_kernel(nq, dt, rhs_viss, bih_mode, nu_coef,
     out_ref[...] = spheremp * limited
 
 
-def _euler_kernel3(nq, dt, rhs_viss, bih_mode, nu_coef,
+def _euler_kernel3(nq, dt, rhs_viss, bih_mode, nu_coef, prec,
                    qdp_ref, u_ref, v_ref, dp_ref, divdp_ref, met_ref,
                    qmin_ref, qmax_ref, w_ref, cx_ref, cy_ref, mask_ref,
                    cxt_ref, cyt_ref, dp0_ref, bih_ref,
@@ -513,7 +513,7 @@ def _euler_kernel3(nq, dt, rhs_viss, bih_mode, nu_coef,
     def mm(w, x):
         xf = x.reshape(eb_ * 16, L)
         o = jax.lax.dot_general(w, xf, (((1,), (0,)), ((), ())),
-                                precision=MXU_PRECISION,
+                                precision=prec,
                                 preferred_element_type=f)
         return o.reshape(eb_, 16, L)
 
@@ -707,7 +707,8 @@ def laplace_wk_t(s_t, model_arrays, interpret=None, eb=4):
 def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
                        dt, rhs_viss=0, bih=None, interpret=None,
                        transposed=False, nq=None, eb=1,
-                       bih_mode=None, nu_coef=0.0, dp0=None):
+                       bih_mode=None, nu_coef=0.0, dp0=None,
+                       rhs_bf16=False):
     """Fused advection RHS + limiter over all elements.
 
     Args (standard layout, transposed=False):
@@ -788,7 +789,22 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
         bih_r = tp(bih, qk) if has_bih else jnp.zeros((E, N2, 1), f)
 
     # Mosaic block rule: the 2D bound blocks (eb, L) need eb divisible by
-    # 8 or equal to E — round the requested eb to a legal value
+    # 8 or equal to E.  When E is not a multiple of 8 (sharded runs —
+    # e.g. NE30 on 8 shards has eloc=675), pad the element axis instead
+    # of collapsing to eb=E (whose [E,16,L] block would blow VMEM): the
+    # pad elements carry spheremp=0 -> sumc=0 -> validf=0, the limiter
+    # treats them as converged, and they are sliced off on return.
+    E_orig = E
+    if E % 8:
+        Ep = -(-E // 8) * 8
+        padE = lambda a: jnp.pad(a, ((0, Ep - E),) + ((0, 0),) * (a.ndim - 1))
+        qdp_r, u_r, v_r, divdp_r, met_pack, qmin_r, qmax_r, bih_r = map(
+            padE, (qdp_r, u_r, v_r, divdp_r, met_pack, qmin_r, qmax_r,
+                   bih_r))
+        # dp pads with 1 (it is divided by before the validity blend)
+        dp_r = jnp.concatenate(
+            [dp_r, jnp.ones((Ep - E,) + dp_r.shape[1:], f)], axis=0)
+        E = Ep
     if eb % 8 or E % eb:
         eb = 8 if E % 8 == 0 else E
     be = lambda s2: pl.BlockSpec((eb, N2, s2), lambda e: (e, 0, 0),
@@ -807,8 +823,10 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
                  jax.ShapeDtypeStruct((E, qk), f),
                  jax.ShapeDtypeStruct((E, qk), f))
     if KERNEL_VERSION == 3 and eb * N2 == 128:
+        prec = (jax.lax.Precision.DEFAULT if rhs_bf16
+                else MXU_PRECISION)
         kernel = functools.partial(_euler_kernel3, nq, dt, rhs_viss,
-                                   bih_mode, float(nu_coef))
+                                   bih_mode, float(nu_coef), prec)
         out, qmin_o, qmax_o = pl.pallas_call(
             kernel,
             grid=(E // eb,),
@@ -859,7 +877,12 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
           jnp.asarray(_ddy_mask_mat(), f),
           jnp.asarray(cxt, f), jnp.asarray(cyt, f), dp0lane, bih_r)
 
+    if E != E_orig:
+        out = out[:E_orig]
+        qmin_o = qmin_o[:E_orig]
+        qmax_o = qmax_o[:E_orig]
     if transposed:
         return out, qmin_o, qmax_o
     out = jnp.moveaxis(out, 1, -1).reshape(Qdp.shape)
-    return (out, qmin_o.reshape(E, nq, nk), qmax_o.reshape(E, nq, nk))
+    return (out, qmin_o.reshape(E_orig, nq, nk),
+            qmax_o.reshape(E_orig, nq, nk))
