@@ -207,25 +207,36 @@ def _kernel(nq, nk, alg, csteps,
 
     masso = cumsum_k(qdp, masks) - qdp   # mass below cell k (exclusive)
 
-    q_m2, q_m1, q_0 = rep(m_m2), rep(m_m1), rep(m_0)
-    q_1, q_2, q_3 = rep(m_1), rep(m_2), rep(m_3)
-
-    def sel_q(x):
-        return (q_0 * x + q_1 * _rollL(x, 1) + q_2 * _rollL(x, 2)
-                + q_3 * _rollL(x, 3) + q_m1 * _rollR(x, 1)
-                + q_m2 * _rollR(x, 2))
-
-    masso_kk = sel_q(masso)
-    k0 = sel_q(coef0)
-    k1 = sel_q(coef1)
-    k2 = sel_q(coef2)
-
-    z2q = rep(z2)
-    dpo_q = rep(dpo_kk)
+    # ---- fused select + parabola integral --------------------------------
+    # massn[k] = masso[k+d] + sum_j coef_j[k+d] * Y_j[k] at the selected
+    # shift d, with Y_j = z2-polynomial basis * dpo (level width).  Rather
+    # than four masked-roll selects (sel(masso), sel(coef_j)), regroup per
+    # shift:  massn = sum_d m_d * roll_d(masso + sum_j coef_j * Y_j^{-d})
+    # where Y^{-d} = rep(Y) rolled by -d (the counter-roll aligns the
+    # target's basis with the source cell; the full-lane wrap lanes are
+    # exactly where m_d vanishes).  24 rolls + ~40 ops become 24 rolls +
+    # ~24 ops with the masso select absorbed.
     x1 = jnp.asarray(-0.5, f)
-    integ = (k0 * (z2q - x1) + k1 * (z2q * z2q - x1 * x1) / 2.0
-             + k2 * (z2q * z2q * z2q - x1 * x1 * x1) / 3.0)
-    massn = masso_kk + integ * dpo_q         # mass below tgt interface
+    Y0 = (z2 - x1) * dpo_kk
+    Y1 = (z2 * z2 - x1 * x1) * (0.5 * dpo_kk)
+    Y2 = (z2 * z2 * z2 - x1 * x1 * x1) * (dpo_kk / 3.0)
+    Y0q, Y1q, Y2q = rep(Y0), rep(Y1), rep(Y2)
+
+    shifts = ((m_0, 0), (m_1, 1), (m_2, 2), (m_3, 3),
+              (m_m1, -1), (m_m2, -2))
+    massn = None
+    for mk, d in shifts:
+        if d == 0:
+            y0, y1, y2 = Y0q, Y1q, Y2q
+        elif d > 0:
+            y0, y1, y2 = (_rollR(Y0q, d), _rollR(Y1q, d), _rollR(Y2q, d))
+        else:
+            y0, y1, y2 = (_rollL(Y0q, -d), _rollL(Y1q, -d),
+                          _rollL(Y2q, -d))
+        g = masso + coef0 * y0 + coef1 * y1 + coef2 * y2
+        gd = g if d == 0 else (_rollL(g, d) if d > 0 else _rollR(g, -d))
+        t_ = rep(mk) * gd
+        massn = t_ if massn is None else massn + t_
     # qdp_out[k] = massn[k] - massn[k-1] (massn[-1] = 0)
     prev = s1Rq(massn) * (1.0 - first)
     out_ref[...] = massn - prev
