@@ -6,12 +6,13 @@ prim_state_mod.F90:73 `prim_printstate` — the "Q, Q diss, dQ^2/dt" line at
 global_norms_mod.F90:39).
 
 Determinism: the reference uses repro_sum (fixed-point accumulation) so
-diagnostics are bit-identical across MPI/thread counts.  Here the global
-integral is a sum over the element axis in a fixed canonical (SFC) order —
-XLA reductions over a fixed shape on a fixed mesh are deterministic, and the
-element order never depends on the device count (elements are sharded in
-canonical order), which gives the same invariance guarantee within one
-platform.  Cross-platform bit-identity is not promised (documented).
+diagnostics are bit-identical across MPI/thread counts.  The f64 global
+integral here uses utils/repro_sum.py — integer-window accumulation with
+exact int64 sums (repro_sum_mod.F90's mechanism) — which is bit-identical
+across summation order, shard/process count, AND platform by
+construction.  The f32 perf path keeps the plain canonical-order XLA
+reduction (deterministic within a platform; diagnostics are normally off
+there).
 """
 
 from __future__ import annotations
@@ -28,11 +29,14 @@ def global_integral(m, h):
     """Area-normalized global integral: sum(mp*metdet*h)/(4*pi).
 
     h: [E, n, n] (or with batch dims after E broadcasting spheremp).
+    f64 sums go through repro_sum (global_norms_mod.F90:39 uses
+    repro_sum for exactly this integral).
     """
+    from .utils import repro_sum
     sp = m.spheremp
     nd = h.ndim
     sp = sp.reshape((sp.shape[0],) + (1,) * (nd - 3) + sp.shape[1:])
-    return (h * sp).sum(axis=(0, -2, -1)) / (4.0 * DD_PI)
+    return repro_sum(h * sp, axis=(0, -2, -1)) / (4.0 * DD_PI)
 
 
 def tracer_diagnostics(m, Qdp, Q):
