@@ -91,6 +91,6 @@ def repro_sum(x, axis=None, nlevels: int = _NLEVELS):
 
 def repro_sum_host(x) -> float:
     """Correctly-rounded host-side sum (Shewchuk fsum) — the oracle the
-    device path is tested against, and the multi-host gather-side
-    reduction (gather partials, fsum once — process-count independent)."""
+    device path is tested against (also used for host-side grid
+    constants)."""
     return math.fsum(np.asarray(x, np.float64).ravel().tolist())
