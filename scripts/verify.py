@@ -41,6 +41,9 @@ def main():
                    choices=["gather", "segsum", "face"],
                    help="DSS mode (default: face when --pallas, "
                         "else gather)")
+    p.add_argument("--limcap", type=int, default=0,
+                   help="limiter_iter_cap (f32 Pallas perf knob; 0 = the "
+                        "reference's full np*np-1 iteration)")
     args = p.parse_args()
 
     import jax
@@ -68,6 +71,7 @@ def main():
                  qsize=args.qsize, nu_q=nu, dtype=args.dtype, nlev=args.nlev,
                  vcoord=vcoord, use_pallas=args.pallas, dss_mode=dss,
                  elem_order="raster" if dss == "face" else "gilbert",
+                 limiter_iter_cap=args.limcap,
                  statefreq=int(12 * 3600 / tstep) * 3)
     print(f"config: {cfg}")
     print(f"steps: {cfg.nsteps}  subcycles: {cfg.nsteps // cfg.rsplit}")

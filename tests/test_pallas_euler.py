@@ -183,3 +183,30 @@ def test_fused_mass_conservation(setup):
     got_mass = np.asarray(got).sum(axis=(-2, -1))
     np.testing.assert_allclose(got_mass, np.asarray(want_mass),
                                rtol=1e-10)
+
+
+@pytest.mark.parametrize("version", [1, 3])
+def test_limiter_iter_cap_mass_safe(setup, version, monkeypatch):
+    """A limiter iteration cap is mass-preserving (every loop exit path
+    redistributes the clip residual) and only perturbs columns that had
+    not converged; audited on hardware by scripts/audit_limcap.py."""
+    from transport_se_tpu.ops import pallas_euler
+    monkeypatch.setattr(pallas_euler, "KERNEL_VERSION", version)
+    m, Qdp, vn0, dp, divdp, qmin, qmax = setup
+    args = (Qdp, vn0, dp, divdp, qmin, qmax, _model_arrays(m), 600.0)
+    full, fmin, fmax = fused_advect_limit(*args, interpret=True)
+    capped, cmin, cmax = fused_advect_limit(*args, interpret=True,
+                                            max_iter=4)
+    # relaxed bounds are computed before the loop: identical
+    np.testing.assert_array_equal(np.asarray(cmin), np.asarray(fmin))
+    np.testing.assert_array_equal(np.asarray(cmax), np.asarray(fmax))
+    # per-(element, tracer, level) mass identical to the full iteration
+    np.testing.assert_allclose(
+        np.asarray(capped).sum(axis=(-2, -1)),
+        np.asarray(full).sum(axis=(-2, -1)), rtol=1e-12)
+    # the capped field stays a small perturbation (the hardware audit at
+    # the NE8 perf config measures 6.7e-5 at cap 4 with unchanged tracer
+    # extrema; this coarse ne=2 case is harder — gate the order only)
+    rel = (np.abs(np.asarray(capped) - np.asarray(full)).max()
+           / np.abs(np.asarray(full)).max())
+    assert rel < 1e-3

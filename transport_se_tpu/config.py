@@ -58,6 +58,18 @@ class Config:
                                   # (1-pass MXU) with f32 limiter state —
                                   # perf knob, audited by
                                   # scripts/audit_bf16.py; v3 kernel only
+    limiter_iter_cap: int = 0     # fused-kernel limiter iteration cap
+                                  # (0 = the reference's np*np-1 = 15,
+                                  # prim_advection_mod.F90:1009).  A cap
+                                  # is mass-preserving (every loop exit
+                                  # redistributes the clip residual); the
+                                  # cost is a roundoff-scale bound
+                                  # overshoot on columns that have not
+                                  # yet converged — audited by
+                                  # scripts/audit_limcap.py.  f32 Pallas
+                                  # path only; the f64 verification
+                                  # limiter always iterates to
+                                  # convergence.
     dss_mode: str = "gather"      # gather (BFB partner order) | segsum
                                   # (scatter-add, roundoff reassociation) |
                                   # face (shifted-slice assembly, fastest;
@@ -86,6 +98,11 @@ class Config:
                 "limiter 8 requires hypervis_subcycle_q=1")
         if self.dss_mode == "face" and self.elem_order != "raster":
             raise ValueError("dss_mode='face' requires elem_order='raster'")
+        if self.limiter_iter_cap < 0 or (
+                self.limiter_iter_cap and self.dtype != "f32"):
+            raise ValueError(
+                "limiter_iter_cap is an f32 perf knob (>= 1, or 0 for "
+                "the reference's full iteration)")
         if self.vert_remap_q_alg not in (0, 1, 2):
             raise NotImplementedError(
                 "vert_remap_q_alg must be 0/1 (mirrored-ghost PPM; in this "
@@ -139,5 +156,12 @@ def perf_config(ne: int, **kw) -> Config:
     nu = {8: 6e16, 30: 1e15, 120: 1e13}[ne]
     kw.setdefault("dss_mode", "face")
     kw.setdefault("elem_order", "raster")
+    if kw.get("dtype") == "f32":
+        # audited f32 perf default (scripts/audit_limcap.py): caps 4-6
+        # leave tracer extrema and mass drift unchanged and move the NE8
+        # norms only in the 4th digit (within the f32 path's own distance
+        # from the published f64 digits); cap 3 and below widen q_min —
+        # rejected.  Mass is preserved at any cap by construction.
+        kw.setdefault("limiter_iter_cap", 4)
     return Config(ne=ne, test_case="dcmip1-1", tstep=tstep, qsize=35,
                   nu_q=nu, disable_diagnostics=True, **kw)

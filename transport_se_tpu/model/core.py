@@ -336,7 +336,7 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
                 bih=None if bih_t is None else bih_t[sl],
                 bih_mode=bih_mode, nu_coef=nu_coef, dp0=m.dp0ref,
                 transposed=True, nq=nq, eb=cfg.pallas_eb,
-                rhs_bf16=cfg.rhs_bf16)
+                rhs_bf16=cfg.rhs_bf16, max_iter=cfg.limiter_iter_cap)
 
         out_b, qmin_b, qmax_b = run(slice(0, nb))
         out_i, qmin_i, qmax_i = run(slice(nb, None))
@@ -353,7 +353,7 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
         Qt, uv_t, dp_t, divdp_t, qmin, qmax, arrays, float(dt),
         rhs_viss=rhs_viss, bih=bih_t, bih_mode=bih_mode, nu_coef=nu_coef,
         dp0=m.dp0ref, transposed=True, nq=nq, eb=cfg.pallas_eb,
-        rhs_bf16=cfg.rhs_bf16)
+        rhs_bf16=cfg.rhs_bf16, max_iter=cfg.limiter_iter_cap)
     if next_dp is not None:
         Qt_new, nmn, nmx, lapo = m.tables.dss_scale_minmax_t(
             out_t, rsp16, next_dp, nq,

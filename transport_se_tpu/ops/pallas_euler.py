@@ -248,7 +248,7 @@ def _ddy_bcast(x, d):
     return out.reshape(eb_, 16, L_)
 
 
-def _euler_kernel2(nq, dt, rhs_viss, bih_mode, nu_coef,
+def _euler_kernel2(nq, dt, rhs_viss, bih_mode, nu_coef, max_iter,
                    qdp_ref, u_ref, v_ref, dp_ref, divdp_ref, met_ref,
                    qmin_ref, qmax_ref, dmat_ref, dp0_ref, bih_ref,
                    out_ref, qmin_out_ref, qmax_out_ref):
@@ -348,7 +348,7 @@ def _euler_kernel2(nq, dt, rhs_viss, bih_mode, nu_coef,
 
     def cond(state):
         it, _, convf = state
-        return (it < MAX_ITER) & (jnp.min(convf) < 0.5)
+        return (it < max_iter) & (jnp.min(convf) < 0.5)
 
     _, x, _ = jax.lax.while_loop(cond, body, (0, x, validf * 0.0))
     # out = spheremp * limited; limited = x*dp_star on valid columns, so
@@ -356,7 +356,7 @@ def _euler_kernel2(nq, dt, rhs_viss, bih_mode, nu_coef,
     out_ref[...] = validf * (x * c) + (one - validf) * (qtens * spheremp)
 
 
-def _euler_kernel(nq, dt, rhs_viss, bih_mode, nu_coef,
+def _euler_kernel(nq, dt, rhs_viss, bih_mode, nu_coef, max_iter,
                   qdp_ref, u_ref, v_ref, dp_ref, divdp_ref, met_ref,
                   qmin_ref, qmax_ref, cx_ref, cy_ref, mask_ref,
                   cxt_ref, cyt_ref, dp0_ref, bih_ref,
@@ -481,14 +481,14 @@ def _euler_kernel(nq, dt, rhs_viss, bih_mode, nu_coef,
 
     def cond(state):
         it, _, convf = state
-        return (it < MAX_ITER) & (jnp.min(convf) < 0.5)
+        return (it < max_iter) & (jnp.min(convf) < 0.5)
 
     _, x, _ = jax.lax.while_loop(cond, body, (0, x, validf * 0.0))
     limited = validf * (x * dp_star) + (one - validf) * qtens
     out_ref[...] = spheremp * limited
 
 
-def _euler_kernel3(nq, dt, rhs_viss, bih_mode, nu_coef, prec,
+def _euler_kernel3(nq, dt, rhs_viss, bih_mode, nu_coef, prec, max_iter,
                    qdp_ref, u_ref, v_ref, dp_ref, divdp_ref, met_ref,
                    qmin_ref, qmax_ref, w_ref, cx_ref, cy_ref, mask_ref,
                    cxt_ref, cyt_ref, dp0_ref, bih_ref,
@@ -625,7 +625,7 @@ def _euler_kernel3(nq, dt, rhs_viss, bih_mode, nu_coef, prec,
 
         def cond(state):
             it, _, convf = state
-            return (it < MAX_ITER) & (jnp.min(convf) < 0.5)
+            return (it < max_iter) & (jnp.min(convf) < 0.5)
 
         _, x, _ = jax.lax.while_loop(cond, body, (0, x, validf * 0.0))
         # spheremp*x*dp_star = x*c — skips the dp_star lane-rep
@@ -708,7 +708,7 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
                        dt, rhs_viss=0, bih=None, interpret=None,
                        transposed=False, nq=None, eb=1,
                        bih_mode=None, nu_coef=0.0, dp0=None,
-                       rhs_bf16=False):
+                       rhs_bf16=False, max_iter=0):
     """Fused advection RHS + limiter over all elements.
 
     Args (standard layout, transposed=False):
@@ -732,11 +732,18 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
     saving the separate lap2 kernel round trip.  `dp0` [nlev] required for
     mode 2 (transposed path only).
 
+    max_iter caps the limiter iteration count (0 = MAX_ITER, the
+    reference's np*np-1).  Any cap is mass-preserving — every loop exit
+    path redistributes the clip residual — at the cost of a small bound
+    overshoot on columns that have not converged (audited by
+    scripts/audit_limcap.py; converged columns are bitwise unaffected).
+
     Returns (spheremp*Qtens_limited, qmin', qmax') — feed the first output
     to dss_sum then rspheremp (the pack/exchange/unpack).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    max_iter = max_iter or MAX_ITER
     if transposed:
         E = Qdp.shape[0]
         qk = Qdp.shape[2]            # lane width; may be 128-padded
@@ -826,7 +833,8 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
         prec = (jax.lax.Precision.DEFAULT if rhs_bf16
                 else MXU_PRECISION)
         kernel = functools.partial(_euler_kernel3, nq, dt, rhs_viss,
-                                   bih_mode, float(nu_coef), prec)
+                                   bih_mode, float(nu_coef), prec,
+                                   max_iter)
         out, qmin_o, qmax_o = pl.pallas_call(
             kernel,
             grid=(E // eb,),
@@ -845,7 +853,7 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
           jnp.asarray(cxt, f), jnp.asarray(cyt, f), dp0lane, bih_r)
     elif KERNEL_VERSION == 2:
         kernel = functools.partial(_euler_kernel2, nq, dt, rhs_viss,
-                                   bih_mode, float(nu_coef))
+                                   bih_mode, float(nu_coef), max_iter)
         out, qmin_o, qmax_o = pl.pallas_call(
             kernel,
             grid=(E // eb,),
@@ -860,7 +868,7 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
           dp0lane, bih_r)
     else:
         kernel = functools.partial(_euler_kernel, nq, dt, rhs_viss,
-                                   bih_mode, float(nu_coef))
+                                   bih_mode, float(nu_coef), max_iter)
         out, qmin_o, qmax_o = pl.pallas_call(
             kernel,
             grid=(E // eb,),
