@@ -79,3 +79,23 @@ def test_raster_grid_equivalence():
     np.testing.assert_allclose(gr.lon[pr], gg.lon[pg], rtol=0, atol=1e-14)
     np.testing.assert_allclose(gr.rspheremp[pr], gg.rspheremp[pg],
                                rtol=1e-15)
+
+
+def test_neighbor_minmax_pallas_row_blocks(grids, monkeypatch):
+    """The Pallas neighbor-minmax kernel with by < ne (several row blocks
+    per face) must match the XLA face version across block boundaries
+    (rows above/below come from clamped specs + seam strips)."""
+    from transport_se_tpu.ops import pallas_dss
+    from transport_se_tpu.ops.dss_face import neighbor_minmax_face
+    g, tg, tf = grids
+    if g.ne < 4:
+        pytest.skip("needs ne >= 4 for nr > 1")
+    monkeypatch.setattr(pallas_dss, "DSS_BLOCK_CAP", 100000)
+    rng = np.random.default_rng(5)
+    qmin = jnp.asarray(rng.uniform(-1, 1, (g.nelem, 7)))
+    qmax = jnp.asarray(rng.uniform(-1, 1, (g.nelem, 7)))
+    assert pallas_dss._pick_by(g.ne, 128) < g.ne
+    a_min, a_max = pallas_dss.neighbor_minmax_pallas(qmin, qmax, tf.face)
+    b_min, b_max = neighbor_minmax_face(qmin, qmax, tf.face)
+    np.testing.assert_array_equal(np.asarray(a_min), np.asarray(b_min))
+    np.testing.assert_array_equal(np.asarray(a_max), np.asarray(b_max))

@@ -357,19 +357,26 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
     if next_dp is not None:
         Qt_new, nmn, nmx, lapo = m.tables.dss_scale_minmax_t(
             out_t, rsp16, next_dp, nq,
-            lap_arrays=arrays if next_lap else None)
+            lap_arrays=arrays if next_lap else None, avg=avg_t)
         return Qt_new, qmin, qmax, ((nmn, nmx), lapo)
     Qt_new = m.tables.dss_scale_t(out_t, rsp16, avg=avg_t)
     return Qt_new, qmin, qmax, None
 
 
-def advect_rk2_t_parts(m: Model, Qt, uv_t, divdp_t, divdp_proj_t, dt_q):
+def advect_rk2_t_parts(m: Model, Qt, uv_t, divdp_t, divdp_proj_t, dt_q,
+                       pre_minmax0=None, next_step_dp=None):
     """T-layout RK2 advection from precomputed wind parts (uv_t = the
     mean-flux (u*dp, v*dp) pair, each [E,16,k]).
 
     Each stage's DSS epilogue also computes the NEXT stage's limiter
     bound prep (min/max of Qdp'/dp_next over the element points) — the
-    fused kernel path saves a full read of the field per stage."""
+    fused kernel path saves a full read of the field per stage.
+
+    pre_minmax0: stage 0's bound prep if the PREVIOUS tracer step's
+    stage-3 epilogue already produced it (its dp is the static dp0, so
+    the bounds chain across steps).  next_step_dp: request that epilogue
+    output here, for the next step in the subcycle.  Returns
+    (Qt', divdp_proj_t, next_minmax-or-None)."""
     E = Qt.shape[0]
     nk = m.cfg.nlev
     dt2 = dt_q / 2.0
@@ -379,6 +386,7 @@ def advect_rk2_t_parts(m: Model, Qt, uv_t, divdp_t, divdp_proj_t, dt_q):
     zmin = jnp.zeros((E, Qt.shape[2]), Qt.dtype)
     Qt1, qmin, qmax, nb1 = euler_step_t(m, Qt, zmin, zmin, divdp_t,
                                         divdp_proj_t, uv_t, dt2, 0,
+                                        pre_minmax=pre_minmax0,
                                         next_dp=dp1_t)
     mm1, _ = nb1 if nb1 is not None else (None, None)
     # stage 1's DSS epilogue also emits the first biharmonic Laplacian
@@ -389,12 +397,14 @@ def advect_rk2_t_parts(m: Model, Qt, uv_t, divdp_t, divdp_proj_t, dt_q):
                                         next_lap=m.cfg.nu_q > 0)
     mm2, lap2 = nb2 if nb2 is not None else (None, None)
     # stage 3's DSS epilogue fuses qdp_time_avg (:645-662 u/3 + 2u'/3)
-    # — the returned field is already the time-averaged Qdp'
-    Qt3, qmin, qmax, _ = euler_step_t(m, Qt2, qmin, qmax, divdp_t,
-                                      divdp_proj_t, uv_t, dt2, 2,
-                                      pre_minmax=mm2, pre_lap=lap2,
-                                      avg_t=Qt)
-    return Qt3, divdp_proj_t
+    # — the returned field is already the time-averaged Qdp' — and, when
+    # next_step_dp is given, the NEXT tracer step's stage-0 bound prep
+    Qt3, qmin, qmax, nb3 = euler_step_t(m, Qt2, qmin, qmax, divdp_t,
+                                        divdp_proj_t, uv_t, dt2, 2,
+                                        pre_minmax=mm2, pre_lap=lap2,
+                                        avg_t=Qt, next_dp=next_step_dp)
+    mm3 = nb3[0] if nb3 is not None else None
+    return Qt3, divdp_proj_t, mm3
 
 
 def advect_rk2_t(m: Model, Qt, vn0, dt_q):
@@ -413,7 +423,7 @@ def advect_rk2_t(m: Model, Qt, vn0, dt_q):
     divdp_proj_t = m.tables.dss_scale_t(
         divdp_t * m.spheremp.reshape(E, 16, 1), m.rspheremp.reshape(E, 16))
     return advect_rk2_t_parts(m, Qt, (u_t, v_t), divdp_t, divdp_proj_t,
-                              dt_q)
+                              dt_q)[:2]
 
 
 def vertical_remap_t(m: Model, Qt, divdp_proj_t, dt_remap):
@@ -576,7 +586,11 @@ def make_subcycle_fn(m: Model, diagnostics: bool = False,
             if getattr(m.tables, "mode", None) == "face" and qkp != qk:
                 Qt = jnp.pad(Qt, ((0, 0), (0, 0), (0, qkp - qk)))
             divdp_proj_t = None
-            for _ in range(cfg.rsplit):
+            nk = cfg.nlev
+            dp0_t = jnp.broadcast_to(m.dp0col[None, None, :],
+                                     (E, 16, nk))
+            mm0 = None
+            for i in range(cfg.rsplit):
                 t_wind = jnp.maximum(nstep - 1, 0).astype(m.lon.dtype) * dt
                 (_, _, un0_t, vn0_t, divdp_t,
                  divdp_proj_t) = wb.eval(t_wind)
@@ -584,8 +598,13 @@ def make_subcycle_fn(m: Model, diagnostics: bool = False,
                 if w is not None:
                     un0_t, vn0_t = un0_t * w, vn0_t * w
                     divdp_t, divdp_proj_t = divdp_t * w, divdp_proj_t * w
-                Qt, divdp_proj_t = advect_rk2_t_parts(
-                    m, Qt, (un0_t, vn0_t), divdp_t, divdp_proj_t, dt_q)
+                # chain stage-0 bounds across steps: step i's stage-3
+                # epilogue emits the bounds of Qdp'/dp0, which IS step
+                # i+1's stage-0 prep (stage-0 dp is the static dp0)
+                nd = dp0_t if i < cfg.rsplit - 1 else None
+                Qt, divdp_proj_t, mm0 = advect_rk2_t_parts(
+                    m, Qt, (un0_t, vn0_t), divdp_t, divdp_proj_t, dt_q,
+                    pre_minmax0=mm0, next_step_dp=nd)
                 nstep = nstep + 1
             Qt = Qt[:, :, :qk]
             Qt, ps_v, min_dp = vertical_remap_t(m, Qt, divdp_proj_t,

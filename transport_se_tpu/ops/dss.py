@@ -106,18 +106,23 @@ class DssTables:
             out = (avg + 2.0 * out) / 3.0
         return out
 
-    def dss_scale_minmax_t(self, x_t, rsp, dp, nq, lap_arrays=None):
+    def dss_scale_minmax_t(self, x_t, rsp, dp, nq, lap_arrays=None,
+                           avg=None):
         """Fused rsp*DSS(x_t) plus next-stage limiter-bound prep:
         -> (out, qmin, qmax, lap) with qmin/qmax [E, lanes] = min/max over
         the 16 points of out/dp (dp [E,16,nlev] broadcast over tracers).
         With lap_arrays, lap = laplace_sphere_wk(out/dp) from the same
-        kernel epilogue; None otherwise."""
+        kernel epilogue; None otherwise.  avg: fused qdp_time_avg applied
+        BEFORE the bound prep (the bounds then belong to the next tracer
+        step's stage 0, whose dp is the static dp0)."""
         if self.mode == "face":
             from .pallas_dss import dss_face_pallas
             r = dss_face_pallas(x_t, self.face, rsp=rsp, dp=dp,
-                                lap_arrays=lap_arrays)
+                                lap_arrays=lap_arrays, avg=avg)
             return r if len(r) == 4 else r + (None,)
         out = self.dss_sum_t(x_t) * rsp[:, :, None]
+        if avg is not None:
+            out = (avg + 2.0 * out) / 3.0
         qmn, qmx = self.minmax_prep(out[..., :nq * dp.shape[-1]], dp, nq)
         return out, qmn, qmx, None
 
@@ -133,8 +138,15 @@ class DssTables:
 
     def neighbor_minmax(self, qmin, qmax):
         if self.mode == "face":
-            from .dss_face import neighbor_minmax_face
-            return neighbor_minmax_face(qmin, qmax, self.face)
+            # one streaming Pallas pass (interpret on CPU); the XLA
+            # shifted-copy form (dss_face.neighbor_minmax_face) is kept
+            # as the sharded/banded building block and parity target
+            from .pallas_dss import neighbor_minmax_pallas
+            E = qmin.shape[0]
+            shp = qmin.shape
+            gmin, gmax = neighbor_minmax_pallas(
+                qmin.reshape(E, -1), qmax.reshape(E, -1), self.face)
+            return gmin.reshape(shp), gmax.reshape(shp)
         return neighbor_minmax(qmin, qmax, self)
 
     def global_min(self, x):

@@ -393,3 +393,136 @@ def minmax_prep_pallas(x_t, dp, nq, interpret=None):
         interpret=interpret,
     )(x_t, dp.astype(f))
     return qmin[:, 0], qmax[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# neighbor min/max: per-element 9-point (self + 8 neighbors) reduce
+# ---------------------------------------------------------------------------
+
+def _nbr_minmax_kernel(by, ne,
+                       mn_ref, mx_ref, mnu_ref, mxu_ref, mnd_ref, mxd_ref,
+                       smn_px_ref, smn_mx_ref, smn_py_ref, smn_my_ref,
+                       smx_px_ref, smx_mx_ref, smx_py_ref, smx_my_ref,
+                       gmin_ref, gmax_ref):
+    """Min/max over each element and its 8 point-sharing neighbors
+    (viscosity_mod.F90:748-816 neighbor_minmax; the element-level
+    equivalent of ops/dss_face.py neighbor_minmax_face, in one streaming
+    pass).
+
+    Blocks are `by` element rows of one face: [by, ne, bc].  Rows above/
+    below arrive via clamped 1-row BlockSpecs on the same arrays; at face
+    edges they are replaced by the seam strips (ey-padded [ne+2, bc], pad
+    rows = +-inf so the cube-vertex missing diagonal drops out).  Strips
+    along ex (py/my sides) ride inside the block's shifted rows.
+    """
+    f = mn_ref.dtype
+    r = pl.program_id(1)
+    nr = pl.num_programs(1)
+    row0 = r * by
+    pinf = jnp.asarray(jnp.inf, f)
+
+    def reduce_one(q_ref, up_ref, dn_ref, spx_ref, smx_ref, spy_ref,
+                   smy_ref, op, pad):
+        q = q_ref[0]                         # [by, ne, bc]
+        # x-shifts within rows; the open column comes from the ex strips
+        spx = spx_ref[0, pl.ds(row0 + 1, by)][:, None]   # [by, 1, bc]
+        smx = smx_ref[0, pl.ds(row0 + 1, by)][:, None]
+        xp = jnp.concatenate([q[:, 1:], spx], axis=1)
+        xm = jnp.concatenate([smx, q[:, :-1]], axis=1)
+        # rows above/below the block (clamped at face edges -> strips)
+        is_top = r == nr - 1
+        is_bot = r == 0
+        up = jnp.where(is_top, spy_ref[0, 1:ne + 1], up_ref[0, 0])
+        dn = jnp.where(is_bot, smy_ref[0, 1:ne + 1], dn_ref[0, 0])
+        rows_above = jnp.concatenate([q[1:], up[None]], axis=0)
+        rows_below = jnp.concatenate([dn[None], q[:-1]], axis=0)
+        # diagonals: x-shift the above/below rows; their open column is
+        # the +-1-ey-shifted ex strip (pad at cube vertices)
+        d_pp = jnp.concatenate(
+            [rows_above[:, 1:], spx_ref[0, pl.ds(row0 + 2, by)][:, None]],
+            axis=1)
+        d_mp = jnp.concatenate(
+            [smx_ref[0, pl.ds(row0 + 2, by)][:, None], rows_above[:, :-1]],
+            axis=1)
+        d_pm = jnp.concatenate(
+            [rows_below[:, 1:], spx_ref[0, pl.ds(row0, by)][:, None]],
+            axis=1)
+        d_mm = jnp.concatenate(
+            [smx_ref[0, pl.ds(row0, by)][:, None], rows_below[:, :-1]],
+            axis=1)
+        res = op(op(op(q, xp), op(xm, rows_above)),
+                 op(op(rows_below, d_pp), op(op(d_mp, d_pm), d_mm)))
+        return res
+
+    gmin_ref[0] = reduce_one(mn_ref, mnu_ref, mnd_ref, smn_px_ref,
+                             smn_mx_ref, smn_py_ref, smn_my_ref,
+                             jnp.minimum, pinf)
+    gmax_ref[0] = reduce_one(mx_ref, mxu_ref, mxd_ref, smx_px_ref,
+                             smx_mx_ref, smx_py_ref, smx_my_ref,
+                             jnp.maximum, -pinf)
+
+
+def neighbor_minmax_pallas(qmin, qmax, ft, interpret=None):
+    """qmin/qmax [E, B] per-element bounds, E in raster face order.
+
+    Seam strips come from the src_* neighbor-element tables; the +-inf
+    ey-padding encodes the partnerless cube-vertex diagonal exactly like
+    ops/dss_face.py neighbor_minmax_face's sh_strip pad.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    ne = ft.ne
+    E, B = qmin.shape
+    f = qmin.dtype
+    Bp = -(-B // 128) * 128
+    if Bp != B:
+        # padded lanes must stay inert through min AND max: +inf/-inf
+        qmin = jnp.pad(qmin, ((0, 0), (0, Bp - B)),
+                       constant_values=np.inf)
+        qmax = jnp.pad(qmax, ((0, 0), (0, Bp - B)),
+                       constant_values=-np.inf)
+    bc = DSS_BC if Bp % DSS_BC == 0 else (128 if Bp % 128 == 0 else Bp)
+    while Bp % bc:
+        bc = Bp
+    by = _pick_by(ne, bc)
+
+    def strips(q, src, pad):
+        g = q[src]                            # [6, ne, Bp]
+        p = jnp.full((6, 1, Bp), pad, f)
+        return jnp.concatenate([p, g, p], axis=1)
+
+    smn = [strips(qmin, s, np.inf) for s in
+           (ft.src_px, ft.src_mx, ft.src_py, ft.src_my)]
+    smx = [strips(qmax, s, -np.inf) for s in
+           (ft.src_px, ft.src_mx, ft.src_py, ft.src_my)]
+
+    q6n = qmin.reshape(6, ne, ne, Bp)
+    q6x = qmax.reshape(6, ne, ne, Bp)
+    nr = ne // by
+    nb = Bp // bc
+
+    bmain = pl.BlockSpec((1, by, ne, bc),
+                         lambda face, r, b: (face, r, 0, b),
+                         memory_space=pltpu.VMEM)
+    brow_up = pl.BlockSpec(
+        (1, 1, ne, bc),
+        lambda face, r, b: (face, jnp.minimum(r * by + by, ne - 1), 0, b),
+        memory_space=pltpu.VMEM)
+    brow_dn = pl.BlockSpec(
+        (1, 1, ne, bc),
+        lambda face, r, b: (face, jnp.maximum(r * by - 1, 0), 0, b),
+        memory_space=pltpu.VMEM)
+    bstrip = pl.BlockSpec((1, ne + 2, bc),
+                          lambda face, r, b: (face, 0, b),
+                          memory_space=pltpu.VMEM)
+    gmin, gmax = pl.pallas_call(
+        functools.partial(_nbr_minmax_kernel, by, ne),
+        grid=(6, nr, nb),
+        in_specs=[bmain, bmain, brow_up, brow_up, brow_dn, brow_dn]
+                 + [bstrip] * 8,
+        out_specs=(bmain, bmain),
+        out_shape=(jax.ShapeDtypeStruct(q6n.shape, f),
+                   jax.ShapeDtypeStruct(q6n.shape, f)),
+        interpret=interpret,
+    )(q6n, q6x, q6n, q6x, q6n, q6x, *smn, *smx)
+    return (gmin.reshape(E, Bp)[:, :B], gmax.reshape(E, Bp)[:, :B])

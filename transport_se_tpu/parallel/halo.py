@@ -293,10 +293,14 @@ class ShardedDssTables:
             out = (avg + 2.0 * out) / 3.0
         return out
 
-    def dss_scale_minmax_t(self, x_t, rsp, dp, nq, lap_arrays=None):
-        """Fused-interface fallback: DSS+scale then the bound prep; no
-        fused laplacian (the caller computes it standalone on None)."""
+    def dss_scale_minmax_t(self, x_t, rsp, dp, nq, lap_arrays=None,
+                           avg=None):
+        """Fused-interface fallback: DSS+scale (+ qdp_time_avg) then the
+        bound prep; no fused laplacian (the caller computes it standalone
+        on None)."""
         out = self.dss_sum_t(x_t) * rsp[:, :, None]
+        if avg is not None:
+            out = (avg + 2.0 * out) / 3.0
         qmn, qmx = self.minmax_prep(out[..., :nq * dp.shape[-1]], dp, nq)
         return out, qmn, qmx, None
 
