@@ -151,9 +151,15 @@ def dcmip12_ne30(**kw) -> Config:
 
 
 def perf_config(ne: int, **kw) -> Config:
-    """35-tracer throughput configs (test/run_ne*_perf.sh, README:160-192)."""
-    tstep = {8: 1200.0, 30: 300.0, 120: 75.0}[ne]
-    nu = {8: 6e16, 30: 1e15, 120: 1e13}[ne]
+    """35-tracer throughput configs (test/run_ne*_perf.sh, README:160-192).
+
+    ne=42 is the NE120-per-chip proxy: 6*42^2 = 10584 elements — one
+    8-chip shard of the NE120 production grid (86400/8 = 10800) — run
+    with the NE120 perf parameters (tstep=75, nu=1e13), so a single-chip
+    benchmark is apples-to-apples with the reference's per-node NE120
+    throughput (reference README:160-192, test/run_ne120_perf.sh)."""
+    tstep = {8: 1200.0, 30: 300.0, 42: 75.0, 120: 75.0}[ne]
+    nu = {8: 6e16, 30: 1e15, 42: 1e13, 120: 1e13}[ne]
     kw.setdefault("dss_mode", "face")
     kw.setdefault("elem_order", "raster")
     if kw.get("dtype") == "f32":
