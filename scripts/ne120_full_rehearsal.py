@@ -110,6 +110,15 @@ def main():
     p.add_argument("--out", default="artifacts/ne120_rehearsal.json")
     args = p.parse_args()
 
+    # At full size, one core time-slicing 8 virtual devices takes minutes
+    # of compute between collectives; XLA's CPU rendezvous would abort the
+    # process at its default 40 s termination timeout — raise it (these
+    # are wall-clock guards, not correctness knobs).
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=86400"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=172800"
+        + " --xla_cpu_collective_timeout_seconds=172800")
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)

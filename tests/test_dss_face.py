@@ -99,3 +99,29 @@ def test_neighbor_minmax_pallas_row_blocks(grids, monkeypatch):
     b_min, b_max = neighbor_minmax_face(qmin, qmax, tf.face)
     np.testing.assert_array_equal(np.asarray(a_min), np.asarray(b_min))
     np.testing.assert_array_equal(np.asarray(a_max), np.asarray(b_max))
+
+
+def test_dss_scale_minmax_avg_epilogue(grids):
+    """The combined qdp_time_avg + bound-prep epilogue must equal the
+    unfused sequence: scale -> (avg + 2x)/3 -> min/max of out/dp (the
+    cross-step bound chain gives these bounds to the next tracer step's
+    stage 0, whose dp is the static dp0)."""
+    g, tg, tf = grids
+    rng = np.random.default_rng(7)
+    E = g.nelem
+    nq, nk = 2, 8
+    x = jnp.asarray(rng.uniform(0.5, 2.0, (E, 16, nq * nk)))
+    avg = jnp.asarray(rng.uniform(0.5, 2.0, (E, 16, nq * nk)))
+    dp = jnp.asarray(rng.uniform(0.5, 2.0, (E, 16, nk)))
+    rsp = jnp.asarray(rng.uniform(0.5, 2.0, (E, 16)))
+    out, qmn, qmx, _ = tf.dss_scale_minmax_t(x, rsp, dp, nq, avg=avg)
+    want = (avg + 2.0 * (tf.dss_sum_t(x) * rsp[:, :, None])) / 3.0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-13, atol=1e-13)
+    q = np.asarray(want).reshape(E, 16, nq, nk) / np.asarray(dp)[:, :, None]
+    np.testing.assert_allclose(np.asarray(qmn),
+                               q.min(axis=1).reshape(E, -1),
+                               rtol=1e-13, atol=0)
+    np.testing.assert_allclose(np.asarray(qmx),
+                               q.max(axis=1).reshape(E, -1),
+                               rtol=1e-13, atol=0)

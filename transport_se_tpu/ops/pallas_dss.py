@@ -41,6 +41,10 @@ from .pallas_euler import (_ddx_rolls, _ddy_mask_mat, _ddy_rolls,
 # re-DMAs per row block, larger row blocks via _pick_by's byte cap)
 DSS_BC = int(_os.environ.get("TSE_DSS_BC", "128"))
 DSS_BLOCK_CAP = int(_os.environ.get("TSE_DSS_BLOCK_CAP", "2000000"))
+# assembly form: sectioned out_ref stores (i-plane quarters + middle
+# half) instead of full-block concat trees — fewer whole-block VMEM
+# copies (A/B'd on hardware; 0 = concat form)
+DSS_STORE = _os.environ.get("TSE_DSS_STORE", "1") not in ("0", "", "off")
 
 
 def _pick_by(ne: int, bc: int) -> int:
@@ -105,16 +109,37 @@ def _dss_face_kernel(by, ne, nlev, with_scale, with_minmax, with_lap,
 
     # ---- assemble via concat placement (no scatter, no masks) ----
     z2 = jnp.zeros((by, ne, 2, bc), f)
-    g_i0 = S_mx + jnp.concatenate(
-        [d_mm[:, :, None], z2, d_mp[:, :, None]], axis=2)     # slots 0..3
-    g_i3 = S_px + jnp.concatenate(
-        [d_pm[:, :, None], z2, d_pp[:, :, None]], axis=2)     # slots 12..15
-    zmid = jnp.zeros((by, ne, 8, bc), f)
-    res = x + jnp.concatenate([g_i0, zmid, g_i3], axis=2)
-    z3 = jnp.zeros((by, ne, 4, 3, bc), f)
-    t_py = jnp.concatenate([z3, rows_above[..., None, :]], axis=3)
-    t_my = jnp.concatenate([rows_below[..., None, :], z3], axis=3)
-    res = res + (t_py + t_my).reshape(by, ne, 16, bc)
+    if DSS_STORE:
+        # sectioned form: every output slot-plane gets all its terms in
+        # one place, so only ONE full-block concat materializes (the
+        # original form built ~5 full blocks: two zero-padded i-plane
+        # trees plus two j-plane trees plus their adds).  Term grouping
+        # reproduces the original form's association BITWISE:
+        # (x + (S + diag)) + yterm per slot (the banded sharded DSS is
+        # certified bitwise against this kernel).
+        ra = rows_above                           # [by, ne, 4(i), bc]
+        rb = rows_below
+        dc = lambda a, b: jnp.concatenate(
+            [a[:, :, None], z2, b[:, :, None]], axis=2)       # j: a,0,0,b
+        top = (x[:, :, 0:4, :] + (S_mx + dc(d_mm, d_mp))) \
+            + dc(rb[:, :, 0], ra[:, :, 0])                    # slots 0..3
+        bot = (x[:, :, 12:16, :] + (S_px + dc(d_pm, d_pp))) \
+            + dc(rb[:, :, 3], ra[:, :, 3])                    # slots 12..15
+        mid = x[:, :, 4:12, :] + jnp.concatenate(
+            [dc(rb[:, :, 1], ra[:, :, 1]),
+             dc(rb[:, :, 2], ra[:, :, 2])], axis=2)           # slots 4..11
+        res = jnp.concatenate([top, mid, bot], axis=2)
+    else:
+        g_i0 = S_mx + jnp.concatenate(
+            [d_mm[:, :, None], z2, d_mp[:, :, None]], axis=2)  # slots 0..3
+        g_i3 = S_px + jnp.concatenate(
+            [d_pm[:, :, None], z2, d_pp[:, :, None]], axis=2)  # slots 12..15
+        zmid = jnp.zeros((by, ne, 8, bc), f)
+        res = x + jnp.concatenate([g_i0, zmid, g_i3], axis=2)
+        z3 = jnp.zeros((by, ne, 4, 3, bc), f)
+        t_py = jnp.concatenate([z3, rows_above[..., None, :]], axis=3)
+        t_my = jnp.concatenate([rows_below[..., None, :], z3], axis=3)
+        res = res + (t_py + t_my).reshape(by, ne, 16, bc)
 
     if with_scale:
         res = res * rsp_ref[0][..., None]
