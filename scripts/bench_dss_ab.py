@@ -54,7 +54,7 @@ def bench(name, fn, key=None, n=10):
 
 # the kernel pads lanes to a 128 multiple internally (Bp = 2560 here),
 # so DSS_BC only needs to divide Bp, not qk
-for bc, cap in [(256, 2_000_000), (512, 2_000_000),
+for bc, cap in [(128, 2_000_000), (256, 2_000_000), (512, 2_000_000),
                 (512, 8_000_000), (2560, 8_000_000)]:
     pallas_dss.DSS_BC = bc
     pallas_dss.DSS_BLOCK_CAP = cap
