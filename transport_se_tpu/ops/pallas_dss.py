@@ -38,8 +38,15 @@ from .pallas_euler import (_ddx_rolls, _ddy_mask_mat, _ddy_rolls,
                            _roll_coeffs)
 
 # lane-chunk width of the face-DSS grid (bigger chunks = fewer ghost-strip
-# re-DMAs per row block, larger row blocks via _pick_by's byte cap)
-DSS_BC = int(_os.environ.get("TSE_DSS_BC", "128"))
+# re-DMAs per row block, larger row blocks via _pick_by's byte cap).
+# Hardware A/B (artifacts/dss_ab_r03.txt): isolated, the minmax+lap
+# epilogue is ~9% faster at bc=512 (15.8 vs 17.3 ms) while the plain
+# scale epilogue prefers bc=128 (8.9 vs 9.6 ms).  End-to-end, though,
+# bc=512 for the minmax variants REGRESSES bench.py reproducibly
+# (0.707/0.707 vs 0.720 at 128) — the by=2 row blocks it forces
+# pipeline worse against the surrounding kernels — so the default stays
+# 128 for all variants; TSE_DSS_BC forces one width for both.
+DSS_BC = int(_os.environ.get("TSE_DSS_BC", "0"))  # 0 = auto (128)
 DSS_BLOCK_CAP = int(_os.environ.get("TSE_DSS_BLOCK_CAP", "2000000"))
 # assembly form: sectioned out_ref stores (i-plane quarters + middle
 # half) instead of full-block concat trees — fewer whole-block VMEM
@@ -236,7 +243,8 @@ def dss_face_pallas(x_t, ft, rsp=None, dp=None, nlev=None, interpret=None,
     Bp = -(-B // 128) * 128
     if Bp != B:
         x_t = jnp.pad(x_t, ((0, 0), (0, 0), (0, Bp - B)))
-    bc = DSS_BC if Bp % DSS_BC == 0 else (128 if Bp % 128 == 0 else Bp)
+    want = DSS_BC or 128
+    bc = want if Bp % want == 0 else (128 if Bp % 128 == 0 else Bp)
     while Bp % bc:
         bc = Bp
     by = _pick_by(ne, bc)
@@ -506,7 +514,8 @@ def neighbor_minmax_pallas(qmin, qmax, ft, interpret=None):
                        constant_values=np.inf)
         qmax = jnp.pad(qmax, ((0, 0), (0, Bp - B)),
                        constant_values=-np.inf)
-    bc = DSS_BC if Bp % DSS_BC == 0 else (128 if Bp % 128 == 0 else Bp)
+    want = DSS_BC or 128
+    bc = want if Bp % want == 0 else (128 if Bp % 128 == 0 else Bp)
     while Bp % bc:
         bc = Bp
     by = _pick_by(ne, bc)
