@@ -36,7 +36,7 @@ def peak_rss_gb():
     return -1.0
 
 
-def run_phase(cfg_kwargs, tag, tol):
+def run_phase(cfg_kwargs, tag, tol, accounting_only=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -74,6 +74,17 @@ def run_phase(cfg_kwargs, tag, tol):
     print(f"[{tag}] init state: {time.time()-t0:.1f}s, host peak RSS "
           f"{peak_rss_gb():.1f} GB", flush=True)
 
+    if accounting_only:
+        # full-size shapes/plan/memory certified; the remap interval
+        # itself needs an hours-long window (see --phase 1 note below)
+        out = dict(tag=tag + "-accounting", E=E, shards=S,
+                   eloc=runner.plan.eloc, nrounds=int(runner.plan.nrounds),
+                   nhalo=int(runner.plan.nhalo), qsize=cfg.qsize,
+                   nlev=cfg.nlev, qdp_shard_gb=round(qdp_shard / 1e9, 3),
+                   host_peak_rss_gb=round(peak_rss_gb(), 1))
+        print(f"[{tag}] ACCOUNTING-ONLY OK " + json.dumps(out), flush=True)
+        return out
+
     t0 = time.time()
     Qdp, ps_v, nstep, min_dp = runner.step(Qdp0, jnp.asarray(0, jnp.int32))
     jax.block_until_ready(Qdp)
@@ -108,6 +119,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--phase", default="all", choices=["1", "2", "all"])
     p.add_argument("--out", default="artifacts/ne120_rehearsal.json")
+    p.add_argument("--accounting-only", action="store_true",
+                   help="stop after shard-plan + full-size state init + "
+                        "per-shard memory accounting (minutes, not hours)")
     args = p.parse_args()
 
     # At full size, one core time-slicing 8 virtual devices takes minutes
@@ -130,7 +144,7 @@ def main():
         results.append(run_phase(
             dict(ne=120, nlev=72, qsize=35, tstep=75.0, vcoord="acme72",
                  test_case="dcmip1-2", nu_q=1e13, nmax=3, dtype="f32"),
-            "full-72L-35q", 1e-5))
+            "full-72L-35q", 1e-5, accounting_only=args.accounting_only))
     if args.phase in ("2", "all"):
         # phase 2: full horizontal scale through the banded face-shift
         # sharded DSS + fused T pipeline (interpret-mode kernels)
@@ -138,7 +152,8 @@ def main():
             dict(ne=120, nlev=8, qsize=2, tstep=75.0, vcoord="dcmip8",
                  test_case="dcmip1-2", nu_q=1e13, nmax=3, dtype="f32",
                  use_pallas=True, dss_mode="face", elem_order="raster"),
-            "face-sharded-8L-2q", 1e-5))
+            "face-sharded-8L-2q", 1e-5,
+            accounting_only=args.accounting_only))
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
