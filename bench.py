@@ -24,6 +24,7 @@ QSIZE = int(os.environ.get("BENCH_QSIZE", "35"))
 SUBCYCLES = int(os.environ.get("BENCH_SUBCYCLES", "8"))
 PALLAS = os.environ.get("BENCH_PALLAS", "1") not in ("0", "", "off")
 RHS_BF16 = os.environ.get("BENCH_RHS_BF16", "0") not in ("0", "", "off")
+EB = int(os.environ.get("BENCH_EB", "0"))  # 0 = config default
 BASELINE = 3.53e9  # gridpoint-tracers/s, reference NE120 perf on 960 cores
 
 
@@ -38,6 +39,7 @@ def main():
     cfg = perf_config(NE, dtype="f32")
     cfg = type(cfg)(**{**cfg.__dict__, "qsize": QSIZE,
                        "rhs_bf16": RHS_BF16,
+                       **({"pallas_eb": EB} if EB else {}),
                        "use_pallas": PALLAS and
                        jax.devices()[0].platform != "cpu"})
     m = build_model(cfg)
