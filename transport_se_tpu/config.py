@@ -40,6 +40,16 @@ class Config:
     hypervis_order: int = 2
     hypervis_subcycle_q: int = 1
     vert_remap_q_alg: int = 0     # 0: mirror-ghost PPM (reference default)
+    ppm_search: str = "fast"      # fast: bounded +-2-cell interface search
+                                  # (TPU shift-select; the run ABORTS via
+                                  # the ppm_fast_margin health check if the
+                                  # Lagrangian grid deforms past the
+                                  # window) | general: unbounded counting
+                                  # search matching the reference's walking
+                                  # loop (prim_advection_mod.F90:159-173) —
+                                  # handles any deformation at a measured
+                                  # cost (XLA path, no Pallas kernel); the
+                                  # margin guard is then advisory only
 
     # vertical coordinate (namelist vfile_mid/vfile_int)
     vcoord: str = "acme72"        # acme72 | dcmip64 | path prefix
@@ -103,6 +113,8 @@ class Config:
             raise ValueError(
                 "limiter_iter_cap is an f32 perf knob (>= 1, or 0 for "
                 "the reference's full iteration)")
+        if self.ppm_search not in ("fast", "general"):
+            raise ValueError("ppm_search must be 'fast' or 'general'")
         if self.vert_remap_q_alg not in (0, 1, 2):
             raise NotImplementedError(
                 "vert_remap_q_alg must be 0/1 (mirrored-ghost PPM; in this "

@@ -169,6 +169,10 @@ def config_from_namelist(text: str, nl_dir: str = ".") -> RunSettings:
         test_case=str(pop("test_case", "dcmip1-1")),
         prescribed_wind=bool(pop("prescribed_wind", 1)),
         vert_remap_q_alg=int(pop("vert_remap_q_alg", 0)),
+        # extension key (no reference analog): select the unbounded PPM
+        # interface search instead of aborting past +-2 cells of
+        # deformation (config.py ppm_search)
+        ppm_search=str(pop("ppm_search", "fast")).strip("'\""),
         disable_diagnostics=bool(pop("disable_diagnostics", False)),
     )
     runtype = int(pop("runtype", 0))

@@ -354,12 +354,36 @@ def euler_step_t(m: Model, Qt, qmin, qmax, divdp_t, divdp_proj_t, uv_t,
         rhs_viss=rhs_viss, bih=bih_t, bih_mode=bih_mode, nu_coef=nu_coef,
         dp0=m.dp0ref, transposed=True, nq=nq, eb=cfg.pallas_eb,
         rhs_bf16=cfg.rhs_bf16, max_iter=cfg.limiter_iter_cap)
+    dss_kw = {}
+    if getattr(m.tables, "overlap_face", False):
+        # face+overlap composition (cuda_mod.F90:932-1009 boundary/
+        # interior overlap, raster order kept): re-run the producer on
+        # just the boundary group (the elements any peer needs) as the
+        # halo-permute payload, so XLA schedules the permutes while the
+        # full-field kernel computes.  The fused kernel's per-element
+        # results are grouping-invariant (the clip-residual limiter
+        # stabilizes one iteration after per-column convergence), so the
+        # duplicate is bitwise equal to out_t[bidx] and the band assembly
+        # is unchanged (tested: tests/test_sharded_face.py).
+        bsel = m.tables.bidx
+        u_t, v_t = uv_t
+        xb, _, _ = fused_advect_limit(
+            Qt[bsel], (u_t[bsel], v_t[bsel]), dp_t[bsel], divdp_t[bsel],
+            qmin[bsel], qmax[bsel],
+            dict(arrays, **{k: arrays[k][bsel] for k in
+                            ("Dinv", "metdet", "rmetdet", "spheremp")}),
+            float(dt), rhs_viss=rhs_viss,
+            bih=None if bih_t is None else bih_t[bsel],
+            bih_mode=bih_mode, nu_coef=nu_coef, dp0=m.dp0ref,
+            transposed=True, nq=nq, eb=cfg.pallas_eb,
+            rhs_bf16=cfg.rhs_bf16, max_iter=cfg.limiter_iter_cap)
+        dss_kw["xb"] = xb
     if next_dp is not None:
         Qt_new, nmn, nmx, lapo = m.tables.dss_scale_minmax_t(
             out_t, rsp16, next_dp, nq,
-            lap_arrays=arrays if next_lap else None, avg=avg_t)
+            lap_arrays=arrays if next_lap else None, avg=avg_t, **dss_kw)
         return Qt_new, qmin, qmax, ((nmn, nmx), lapo)
-    Qt_new = m.tables.dss_scale_t(out_t, rsp16, avg=avg_t)
+    Qt_new = m.tables.dss_scale_t(out_t, rsp16, avg=avg_t, **dss_kw)
     return Qt_new, qmin, qmax, None
 
 
@@ -438,10 +462,24 @@ def vertical_remap_t(m: Model, Qt, divdp_proj_t, dt_remap):
               * ps_v[..., None])
     # health channel: negative layer thickness (reference abort, :1323)
     # OR the fast-path displacement window exceeded (ops/ppm.py
-    # ppm_fast_margin) — either < 0 aborts in the driver
-    from ..ops.ppm import ppm_fast_margin
-    min_dp = m.tables.global_min(
-        jnp.minimum(dp_star.min(), ppm_fast_margin(dp_star, dp_ref)))
+    # ppm_fast_margin) — either < 0 aborts in the driver.  With
+    # ppm_search="general" the window guard is advisory (the unbounded
+    # search handles any deformation, prim_advection_mod.F90:159-173).
+    from ..ops.ppm import ppm_fast_margin, remap_q_ppm_general
+    general = m.cfg.ppm_search == "general"
+    health = dp_star.min() if general else jnp.minimum(
+        dp_star.min(), ppm_fast_margin(dp_star, dp_ref))
+    min_dp = m.tables.global_min(health)
+    if general:
+        Qcol = Qt.reshape(E, 16, nq, nk)
+        nc = next((c for c in (8, 4, 2) if E % c == 0), 1)
+        Qnew = jax.lax.map(
+            lambda a: remap_q_ppm_general(a[0], a[1], a[2],
+                                          alg=m.cfg.vert_remap_q_alg),
+            (Qcol.reshape(nc, E // nc, 16, nq, nk),
+             dp_star.reshape(nc, E // nc, 16, nk),
+             dp_ref.reshape(nc, E // nc, 16, nk))).reshape(E, 16, qk)
+        return Qnew, ps_v.reshape(E, 4, 4), min_dp
     if m.cfg.use_pallas:
         # VMEM-resident PPM kernel (~2 HBM passes)
         from ..ops.pallas_ppm import remap_q_ppm_pallas_t
@@ -514,18 +552,22 @@ def vertical_remap(m: Model, Qdp, divdp_proj, dt_remap):
     dp_ref = ((m.hyai[1:] - m.hyai[:-1])[None, :, None, None] * P0
               + (m.hybi[1:] - m.hybi[:-1])[None, :, None, None]
               * ps_v[:, None])
-    # health: negative thickness OR fast-path window exceeded (both Pa)
-    from ..ops.ppm import ppm_fast_margin
+    # health: negative thickness OR fast-path window exceeded (both Pa);
+    # ppm_search="general" demotes the window guard to advisory
+    from ..ops.ppm import ppm_fast_margin, remap_q_ppm_general
+    general = m.cfg.ppm_search == "general"
     d1 = jnp.moveaxis(dp_star, 1, 3)
     d2m = jnp.moveaxis(dp_ref, 1, 3)
-    min_dp = m.tables.global_min(
-        jnp.minimum(dp_star.min(), ppm_fast_margin(d1, d2m)))
+    health = dp_star.min() if general else jnp.minimum(
+        dp_star.min(), ppm_fast_margin(d1, d2m))
+    min_dp = m.tables.global_min(health)
 
     # column layout for the PPM kernel: [..., Q, nlev]
     Qcol = jnp.moveaxis(Qdp, (1, 2), (3, 4))          # [E,n,n,q,k]
     d1 = jnp.moveaxis(dp_star, 1, 3)                  # [E,n,n,k]
     d2 = jnp.moveaxis(dp_ref, 1, 3)
-    Qnew = remap_q_ppm(Qcol, d1, d2, alg=m.cfg.vert_remap_q_alg)
+    remap = remap_q_ppm_general if general else remap_q_ppm
+    Qnew = remap(Qcol, d1, d2, alg=m.cfg.vert_remap_q_alg)
     Qdp_out = jnp.moveaxis(Qnew, (3, 4), (1, 2))
     return Qdp_out, ps_v, dp_ref, min_dp
 
