@@ -73,6 +73,10 @@ class ShardedFaceTables:
     pb_mask: jnp.ndarray
     diag_idx: jnp.ndarray     # [eloc, 4] int32 into ext flat slots
     diag_mask: jnp.ndarray    # [eloc, 4] bool
+    # static band-aligned metric (ops/pallas_band.py fused epilogues;
+    # zeros on rows outside the sphere — their outputs are sliced off)
+    band_rsp: jnp.ndarray = None   # [nr, ne, 16] rspheremp
+    band_met: jnp.ndarray = None   # [nr, ne, 5, 16] Dinv00/01/10/11+spheremp
 
 
 def build_sharded_face_tables(grid, plan, ft) -> dict:
@@ -178,6 +182,25 @@ def build_sharded_face_tables(grid, plan, ft) -> dict:
                 if g_diag_mask[g0 + l, c]:
                     diag_idx[l, c], diag_mask[l, c] = sidx(g_diag[g0 + l, c])
 
+        # band-aligned static metric for the Pallas band kernel's fused
+        # scale/laplacian epilogues (same f64 sources the Model casts)
+        band_rsp = np.zeros((nr, ne, 16))
+        band_met = np.zeros((nr, ne, 5, 16))
+        rsp16 = np.asarray(grid.rspheremp).reshape(E, 16)
+        Dinv = np.asarray(grid.Dinv).reshape(E, 16, 2, 2)
+        sp16 = np.asarray(grid.spheremp).reshape(E, 16)
+        for r in range(nr):
+            gr = row0 + r
+            if not (0 <= gr < nrows_all):
+                continue
+            els = np.arange(gr * ne, gr * ne + ne)
+            band_rsp[r] = rsp16[els]
+            band_met[r, :, 0] = Dinv[els, :, 0, 0]
+            band_met[r, :, 1] = Dinv[els, :, 0, 1]
+            band_met[r, :, 2] = Dinv[els, :, 1, 0]
+            band_met[r, :, 3] = Dinv[els, :, 1, 1]
+            band_met[r, :, 4] = sp16[els]
+
         P = max(P, len(pa), len(pb))
         per_shard.append(dict(band_o=np.asarray([o], np.int32),
                               head_idx=head_idx, head_mask=head_mask,
@@ -186,13 +209,15 @@ def build_sharded_face_tables(grid, plan, ft) -> dict:
                               gmx_idx=gmx_idx, gmx_mask=gmx_mask,
                               ysame_up=ysame_up, ysame_dn=ysame_dn,
                               pa=pa, pb=pb,
-                              diag_idx=diag_idx, diag_mask=diag_mask))
+                              diag_idx=diag_idx, diag_mask=diag_mask,
+                              band_rsp=band_rsp, band_met=band_met))
 
     P = max(P, 1)
     out = {}
     for k in ("band_o", "head_idx", "head_mask", "tail_idx", "tail_mask",
               "gpx_idx", "gpx_mask", "gmx_idx", "gmx_mask",
-              "ysame_up", "ysame_dn", "diag_idx", "diag_mask"):
+              "ysame_up", "ysame_dn", "diag_idx", "diag_mask",
+              "band_rsp", "band_met"):
         out["f_" + k] = np.stack([d[k] for d in per_shard])
     for name, key in (("pa", "pa"), ("pb", "pb")):
         pos = np.zeros((S, P), np.int32)
@@ -225,7 +250,8 @@ def tables_from_stack(stack_slices: dict, dims: dict) -> ShardedFaceTables:
         ysame_dn=g("ysame_dn"), pa_pos=g("pa_pos"), pa_idx=g("pa_idx"),
         pa_mask=g("pa_mask"), pb_pos=g("pb_pos"), pb_idx=g("pb_idx"),
         pb_mask=g("pb_mask"), diag_idx=g("diag_idx"),
-        diag_mask=g("diag_mask"))
+        diag_mask=g("diag_mask"), band_rsp=g("band_rsp"),
+        band_met=g("band_met"))
 
 
 def dss_sum_t_face_band(x, ext, t: ShardedFaceTables):

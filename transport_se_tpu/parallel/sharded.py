@@ -63,17 +63,17 @@ def make_sharded_subcycle(m: Model, mesh: Mesh,
     or off (None = auto: on for the gather-DSS Pallas pipeline).  Used by
     the overlap A/B benchmark (scripts/bench_scaling.py)."""
     S = mesh.devices.size
-    # the banded face DSS requires raster chunk order; the overlap
-    # boundary-first reordering is only used on the gather path
+    # the banded face DSS requires raster chunk order, so its overlap
+    # form keeps the identity ordering and instead duplicates the
+    # boundary-group producer (halo.py ShardedDssTables.dss_sum_t xb);
+    # the gather path overlaps via boundary-first element reordering
     use_face = (m.cfg.dss_mode == "face"
                 and getattr(m.tables, "face", None) is not None)
     if overlap is None:
         overlap = (m.cfg.use_pallas and m.cfg.limiter_option == 8
-                   and not diagnostics and not use_face)
-    elif overlap and use_face:
-        raise ValueError("overlap ordering is incompatible with the "
-                         "face-sharded DSS (raster order required)")
-    plan = build_shard_plan(m.grid, S, overlap=overlap)
+                   and not diagnostics)
+    overlap_face = bool(overlap and use_face)
+    plan = build_shard_plan(m.grid, S, overlap=overlap and not use_face)
     perm = plan.perm
     inv_perm = np.empty_like(perm)
     inv_perm[perm] = np.arange(perm.size)
@@ -87,6 +87,10 @@ def make_sharded_subcycle(m: Model, mesh: Mesh,
         part_mask=jnp.asarray(plan.part_mask),
         nbr=jnp.asarray(plan.nbr),
     )
+    if overlap_face:
+        table_arrays.update(bidx=jnp.asarray(plan.bidx),
+                            bmask=jnp.asarray(plan.bmask),
+                            send_elem_b=jnp.asarray(plan.send_elem_b))
     face_dims = None
     if use_face:
         from .face_sharded import build_sharded_face_tables
@@ -112,6 +116,8 @@ def make_sharded_subcycle(m: Model, mesh: Mesh,
         tables = ShardedDssTables(
             axis_name=AXIS, eloc=plan.eloc, nhalo=plan.nhalo,
             perms=plan.perms, nbound=plan.nbound, face=face,
+            overlap_face=overlap_face,
+            use_pallas_band=bool(use_face and m.cfg.use_pallas),
             **{k: tabs[k][0] for k in tab_keys
                if not k.startswith("f_")})
         ml = dataclasses.replace(m, tables=tables,
