@@ -1,6 +1,10 @@
 #!/usr/bin/env python
 """Headline benchmark: NE30 perf config (35 tracers, 72 levels, limiter 8,
-hyperviscosity, diagnostics off) on one TPU chip, in f32.
+hyperviscosity, diagnostics off) on one TPU chip, in f32 — PLUS the
+NE120-shard-sized proxy (NE42: 6*42^2 = 10584 elements ~ one 8-chip shard
+of the NE120 production grid, run with the NE120 perf parameters
+tstep=75 / nu=1e13) so the per-chip claim against the NE120 baseline is
+honest.  Both land in the single JSON line.
 
 Metric: gridpoint-tracers advanced per second =
     steps * E * 16 * nlev * qsize / wall.
@@ -8,8 +12,8 @@ Metric: gridpoint-tracers advanced per second =
 vs_baseline compares against the reference's best published throughput —
 the NE120 perf run on 40 Edison nodes / 960 cores: 48 steps of
 86400*16*72*35 gridpoint-tracers in 42.643 s = 3.53e9 /s (BASELINE.md;
-reference README:173-175).  A value > 1 means ONE TPU chip outruns the
-960-core 2015 cluster.
+reference README:173-175, test/run_ne120_perf.sh).  A value > 1 means ONE
+TPU chip outruns the 960-core 2015 cluster.
 
 Prints exactly one JSON line.
 """
@@ -25,21 +29,34 @@ SUBCYCLES = int(os.environ.get("BENCH_SUBCYCLES", "8"))
 PALLAS = os.environ.get("BENCH_PALLAS", "1") not in ("0", "", "off")
 RHS_BF16 = os.environ.get("BENCH_RHS_BF16", "0") not in ("0", "", "off")
 EB = int(os.environ.get("BENCH_EB", "0"))  # 0 = config default
+# limiter iteration cap override (experiments only; the audited default
+# is perf_config's 4 — scripts/audit_limcap.py)
+LIMCAP = int(os.environ.get("BENCH_LIMCAP", "0"))
+# NE120-shard-sized proxy row (skippable for quick iteration)
+PROXY = os.environ.get("BENCH_PROXY", "1") not in ("0", "", "off")
 BASELINE = 3.53e9  # gridpoint-tracers/s, reference NE120 perf on 960 cores
 
+if EB and EB % 8 != 0:
+    # Mosaic 2D blocks need multiples-of-8 sublanes; fail with a clear
+    # message instead of an opaque kernel-build error (ADVICE r3).
+    sys.exit(f"BENCH_EB must be a multiple of 8 (got {EB})")
 
-def main():
+
+def measure(ne, qsize, subcycles):
+    """Fenced gridpoint-tracers/s for one perf-config grid."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from transport_se_tpu.config import perf_config
     from transport_se_tpu.model.core import (build_model, initial_qdp,
                                              make_subcycle_fn)
 
-    cfg = perf_config(NE, dtype="f32")
-    cfg = type(cfg)(**{**cfg.__dict__, "qsize": QSIZE,
+    cfg = perf_config(ne, dtype="f32")
+    cfg = type(cfg)(**{**cfg.__dict__, "qsize": qsize,
                        "rhs_bf16": RHS_BF16,
                        **({"pallas_eb": EB} if EB else {}),
+                       **({"limiter_iter_cap": LIMCAP} if LIMCAP else {}),
                        "use_pallas": PALLAS and
                        jax.devices()[0].platform != "cpu"})
     m = build_model(cfg)
@@ -53,8 +70,6 @@ def main():
         E = m.grid.nelem
         Qdp = jax.jit(lambda x: _tp(x, E, cfg.qsize * cfg.nlev))(Qdp)
     nstep = jnp.asarray(0, jnp.int32)
-
-    import numpy as np
 
     # warmup (compile + 1 interval)
     Qdp_w, ps, nstep_w, _ = step(Qdp, nstep)
@@ -70,20 +85,31 @@ def main():
     rtt = (time.perf_counter() - t0) / 4
 
     t0 = time.perf_counter()
-    for _ in range(SUBCYCLES):
+    for _ in range(subcycles):
         Qdp, ps, nstep, _ = step(Qdp, nstep)
     _ = np.asarray(Qdp.ravel()[0])
     wall = time.perf_counter() - t0 - rtt
 
-    steps = SUBCYCLES * cfg.rsplit
+    steps = subcycles * cfg.rsplit
     gpt = steps * m.grid.nelem * 16 * cfg.nlev * cfg.qsize
-    rate = gpt / wall
-    print(json.dumps({
+    return gpt / wall
+
+
+def main():
+    rate = measure(NE, QSIZE, SUBCYCLES)
+    out = {
         "metric": f"NE{NE} {QSIZE}-tracer gridpoint-tracers/s per chip",
         "value": round(rate / 1e9, 4) * 1e9,
         "unit": "gridpoint-tracers/s",
         "vs_baseline": round(rate / BASELINE, 4),
-    }))
+    }
+    if PROXY and NE != 42:
+        # NE120-per-chip proxy: one 8-chip shard of the production grid
+        # at the NE120 perf parameters (VERDICT r3 item 6).
+        prate = measure(42, QSIZE, SUBCYCLES)
+        out["ne42_proxy_value"] = round(prate / 1e9, 4) * 1e9
+        out["ne42_proxy_vs_baseline"] = round(prate / BASELINE, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -53,14 +53,27 @@ def bench(name, fn, key=None, n=10):
 
 
 # the kernel pads lanes to a 128 multiple internally (Bp = 2560 here),
-# so DSS_BC only needs to divide Bp, not qk
-for bc, cap in [(128, 2_000_000), (256, 2_000_000), (512, 2_000_000),
-                (512, 8_000_000), (2560, 8_000_000)]:
+# so DSS_BC only needs to divide Bp, not qk.  Sweep points are
+# "bc:capM" CLI args (default list below).
+sweep = [(128, 2_000_000), (256, 2_000_000), (512, 2_000_000),
+         (512, 8_000_000), (2560, 8_000_000)]
+if len(sys.argv) > 1:
+    sweep = [(int(a.split(":")[0]), int(a.split(":")[1]) * 1_000_000)
+             for a in sys.argv[1:]]
+for bc, cap in sweep:
     pallas_dss.DSS_BC = bc
     pallas_dss.DSS_BLOCK_CAP = cap
-    bench(f"dss_scale_t bc={bc} cap={cap//1_000_000}M",
-          lambda Q: m.tables.dss_scale_t(Q, rsp16), key="scale")
-    bench(f"dss_minmax_lap bc={bc} cap={cap//1_000_000}M",
-          lambda Q: m.tables.dss_scale_minmax_t(Q, rsp16, dp0_t, nq,
-                                                lap_arrays=arrays),
-          key="lap")
+    try:
+        bench(f"dss_scale_t bc={bc} cap={cap//1_000_000}M",
+              lambda Q: m.tables.dss_scale_t(Q, rsp16), key="scale")
+    except Exception as e:
+        print(f"dss_scale_t bc={bc} cap={cap//1_000_000}M FAILED: "
+              f"{type(e).__name__}", flush=True)
+    try:
+        bench(f"dss_minmax_lap bc={bc} cap={cap//1_000_000}M",
+              lambda Q: m.tables.dss_scale_minmax_t(Q, rsp16, dp0_t, nq,
+                                                    lap_arrays=arrays),
+              key="lap")
+    except Exception as e:
+        print(f"dss_minmax_lap bc={bc} cap={cap//1_000_000}M FAILED: "
+              f"{type(e).__name__}", flush=True)

@@ -47,16 +47,22 @@ from .pallas_euler import (_ddx_rolls, _ddy_mask_mat, _ddy_rolls,
 # pipeline worse against the surrounding kernels — so the default stays
 # 128 for all variants; TSE_DSS_BC forces one width for both.
 DSS_BC = int(_os.environ.get("TSE_DSS_BC", "0"))  # 0 = auto (128)
-DSS_BLOCK_CAP = int(_os.environ.get("TSE_DSS_BLOCK_CAP", "2000000"))
+# 0 = auto: 4M (by=15 at NE30) for the plain scale variant, 2M for the
+# minmax/lap epilogue variants (r4 sweep, artifacts/kernel_times_r04.txt:
+# scale 8.70 -> 8.22 ms at 4M; the epilogue variants regress or blow
+# VMEM above 2M)
+DSS_BLOCK_CAP = int(_os.environ.get("TSE_DSS_BLOCK_CAP", "0"))
 # assembly form: sectioned out_ref stores (i-plane quarters + middle
 # half) instead of full-block concat trees — fewer whole-block VMEM
 # copies (A/B'd on hardware; 0 = concat form)
 DSS_STORE = _os.environ.get("TSE_DSS_STORE", "1") not in ("0", "", "off")
 
 
-def _pick_by(ne: int, bc: int) -> int:
-    """Row-block height: divisor of ne, block size <= DSS_BLOCK_CAP."""
-    cap = max(1, DSS_BLOCK_CAP // (ne * 16 * bc * 4))
+def _pick_by(ne: int, bc: int, heavy: bool = True) -> int:
+    """Row-block height: divisor of ne, block size <= the byte cap
+    (heavy = an epilogue variant with extra outputs -> smaller cap)."""
+    cap_b = DSS_BLOCK_CAP or (2_000_000 if heavy else 4_000_000)
+    cap = max(1, cap_b // (ne * 16 * bc * 4))
     return max(d for d in range(1, ne + 1) if ne % d == 0 and d <= cap)
 
 
@@ -247,7 +253,7 @@ def dss_face_pallas(x_t, ft, rsp=None, dp=None, nlev=None, interpret=None,
     bc = want if Bp % want == 0 else (128 if Bp % 128 == 0 else Bp)
     while Bp % bc:
         bc = Bp
-    by = _pick_by(ne, bc)
+    by = _pick_by(ne, bc, heavy=with_minmax or with_avg)
 
     xf = x_t.reshape(E * nn, Bp)
 

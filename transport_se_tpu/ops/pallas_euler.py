@@ -42,8 +42,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import RREARTH
 
-TOL_LIMITER = 5e-14
 import os as _os
+# relative limiter convergence tolerance (|addmass| <= tol*|mass|).
+# 5e-14 is the reference's f64-grade criterion (prim_advection_mod.F90
+# limiter_optim_iter_full); in the f32 kernel it forces iteration to an
+# exact-zero residual far past f32 precision — TSE_LIM_TOL loosens it
+# (mass is preserved at ANY exit: every loop exit redistributes the clip
+# residual; the tolerance only bounds the residual left on the bounds,
+# which at 1e-7 is f32-roundoff-sized).  Audited by scripts/audit_limcap.
+TOL_LIMITER = float(_os.environ.get("TSE_LIM_TOL", "5e-14"))
 MAX_ITER = int(_os.environ.get("TSE_MAX_ITER", "15"))  # np*np-1; env
 # override is a PROFILING knob only (lower caps give wrong results)
 N2 = 16
@@ -51,6 +58,11 @@ N2 = 16
 # Smaller groups exit the data-dependent limiter loop earlier on smooth
 # lanes at the cost of more unrolled loop bodies.
 LIM_GROUP_LANES = int(_os.environ.get("TSE_LIM_GROUP_LANES", "512"))
+# v3 limiter: two clip-redistribute updates per while_loop trip (bitwise
+# identical for EVEN iteration caps; auto-disabled otherwise) — halves
+# the per-trip convergence-reduction/branch syncs
+LIM_UNROLL2 = _os.environ.get("TSE_LIM_UNROLL2", "0") not in ("0", "",
+                                                              "off")
 # v3 MXU matmul precision: "highest" = 6-pass bf16 (f32-equivalent,
 # 1.6e-7 vs rolls), "high" = 3-pass, "default" = 1-pass bf16 (4.8e-3 —
 # profiling only)
@@ -627,7 +639,22 @@ def _euler_kernel3(nq, dt, rhs_viss, bih_mode, nu_coef, prec, max_iter,
             it, _, convf = state
             return (it < max_iter) & (jnp.min(convf) < 0.5)
 
-        _, x, _ = jax.lax.while_loop(cond, body, (0, x, validf * 0.0))
+        if LIM_UNROLL2 and max_iter % 2 == 0:
+            # two clip-redistribute updates per loop trip: halves the
+            # cond-reduction/scalar-branch syncs.  Results are bitwise
+            # unchanged — converged columns are fixed points of the body
+            # (clip is idempotent once x = xcl), and capped columns see
+            # exactly max_iter updates either way (even cap required).
+            def body2(state, body=body):
+                return body(body(state))
+
+            def cond2(state, cond=cond):
+                return cond(state)
+
+            _, x, _ = jax.lax.while_loop(cond2, body2,
+                                         (0, x, validf * 0.0))
+        else:
+            _, x, _ = jax.lax.while_loop(cond, body, (0, x, validf * 0.0))
         # spheremp*x*dp_star = x*c — skips the dp_star lane-rep
         out_ref[:, :, sl] = validf * (x * c_g) \
             + (one - validf) * (qtens[..., sl] * spheremp)
