@@ -63,6 +63,16 @@ LIM_GROUP_LANES = int(_os.environ.get("TSE_LIM_GROUP_LANES", "512"))
 # the per-trip convergence-reduction/branch syncs
 LIM_UNROLL2 = _os.environ.get("TSE_LIM_UNROLL2", "0") not in ("0", "",
                                                               "off")
+# v3 limiter: fully unroll the iteration loop (no while_loop, no scalar
+# convergence reduction or branch at all) when the cap is small.  Bitwise
+# identical to the while_loop: converged columns are fixed points of the
+# body (clip is idempotent once x = xcl and the conv mask zeroes the
+# redistribution), so running the body exactly max_iter times gives the
+# same result whether or not the group would have exited early — the
+# while_loop exists purely as an early-exit optimization, and measured
+# NE30 groups almost never exit early (bench: unroll2 +3.7%).  Audited
+# bitwise on hardware by scripts/audit_unroll.py --full.
+LIM_FULL_UNROLL_CAP = int(_os.environ.get("TSE_LIM_FULL_UNROLL_CAP", "6"))
 # v3 MXU matmul precision: "highest" = 6-pass bf16 (f32-equivalent,
 # 1.6e-7 vs rolls), "high" = 3-pass, "default" = 1-pass bf16 (4.8e-3 —
 # profiling only)
@@ -639,7 +649,14 @@ def _euler_kernel3(nq, dt, rhs_viss, bih_mode, nu_coef, prec, max_iter,
             it, _, convf = state
             return (it < max_iter) & (jnp.min(convf) < 0.5)
 
-        if LIM_UNROLL2 and max_iter % 2 == 0:
+        if 0 < max_iter <= LIM_FULL_UNROLL_CAP:
+            # fully unrolled: exactly max_iter body applications, no
+            # scalar convergence sync (see LIM_FULL_UNROLL_CAP above)
+            state = (0, x, validf * 0.0)
+            for _ in range(max_iter):
+                state = body(state)
+            _, x, _ = state
+        elif LIM_UNROLL2 and max_iter % 2 == 0:
             # two clip-redistribute updates per loop trip: halves the
             # cond-reduction/scalar-branch syncs.  Results are bitwise
             # unchanged — converged columns are fixed points of the body
