@@ -524,7 +524,12 @@ def neighbor_minmax_pallas(qmin, qmax, ft, interpret=None):
     bc = want if Bp % want == 0 else (128 if Bp % 128 == 0 else Bp)
     while Bp % bc:
         bc = Bp
-    by = _pick_by(ne, bc)
+    # block-height cap WITHOUT _pick_by's 16-point factor: these blocks
+    # are [by, ne, bc] per-element scalars, 16x smaller than field
+    # blocks, and the kernel was launch-bound at the field-sized cap
+    # (measured 4.0 ms vs a ~0.3 ms floor at NE30; whole-face rows fix it)
+    cap = max(1, 2_000_000 // (ne * bc * 4))
+    by = max(d for d in range(1, ne + 1) if ne % d == 0 and d <= cap)
 
     def strips(q, src, pad):
         g = q[src]                            # [6, ne, Bp]

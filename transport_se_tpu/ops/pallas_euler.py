@@ -74,8 +74,10 @@ LIM_UNROLL2 = _os.environ.get("TSE_LIM_UNROLL2", "0") not in ("0", "",
 # bitwise on hardware by scripts/audit_unroll.py --full.
 LIM_FULL_UNROLL_CAP = int(_os.environ.get("TSE_LIM_FULL_UNROLL_CAP", "6"))
 # v3 MXU matmul precision: "highest" = 6-pass bf16 (f32-equivalent,
-# 1.6e-7 vs rolls), "high" = 3-pass, "default" = 1-pass bf16 (4.8e-3 —
-# profiling only)
+# 1.6e-7 vs rolls), "default" = 1-pass bf16 (4.8e-3 — profiling only).
+# "high" (3-pass) is NOT lowerable by Mosaic inside Pallas kernels
+# (NotImplementedError: Unsupported dot precision, measured r4) — the
+# only in-kernel choices are highest and the rhs_bf16 flag's default.
 MXU_PRECISION = {"default": jax.lax.Precision.DEFAULT,
                  "high": jax.lax.Precision.HIGH,
                  "highest": jax.lax.Precision.HIGHEST}[
