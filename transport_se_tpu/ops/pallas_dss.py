@@ -47,10 +47,12 @@ from .pallas_euler import (_ddx_rolls, _ddy_mask_mat, _ddy_rolls,
 # pipeline worse against the surrounding kernels — so the default stays
 # 128 for all variants; TSE_DSS_BC forces one width for both.
 DSS_BC = int(_os.environ.get("TSE_DSS_BC", "0"))  # 0 = auto (128)
-# 0 = auto: 4M (by=15 at NE30) for the plain scale variant, 2M for the
-# minmax/lap epilogue variants (r4 sweep, artifacts/kernel_times_r04.txt:
-# scale 8.70 -> 8.22 ms at 4M; the epilogue variants regress or blow
-# VMEM above 2M)
+# 0 = auto: 4M (by=15 at NE30) for ALL variants.  The early-r4 finding
+# that the epilogue variants prefer 2M did not survive the limiter
+# full-unroll pipeline change: re-swept end-to-end after it, 4M benches
+# 0.890 vs 0.879 at 2M (grid-step overhead dominates at small by; the
+# heavy variants fit comfortably at by=15 under the 100M scoped-vmem
+# cap).  8M (by=30) fails to compile.
 DSS_BLOCK_CAP = int(_os.environ.get("TSE_DSS_BLOCK_CAP", "0"))
 # assembly form: sectioned out_ref stores (i-plane quarters + middle
 # half) instead of full-block concat trees — fewer whole-block VMEM
@@ -59,9 +61,8 @@ DSS_STORE = _os.environ.get("TSE_DSS_STORE", "1") not in ("0", "", "off")
 
 
 def _pick_by(ne: int, bc: int, heavy: bool = True) -> int:
-    """Row-block height: divisor of ne, block size <= the byte cap
-    (heavy = an epilogue variant with extra outputs -> smaller cap)."""
-    cap_b = DSS_BLOCK_CAP or (2_000_000 if heavy else 4_000_000)
+    """Row-block height: divisor of ne, block size <= the byte cap."""
+    cap_b = DSS_BLOCK_CAP or 4_000_000
     cap = max(1, cap_b // (ne * 16 * bc * 4))
     return max(d for d in range(1, ne + 1) if ne % d == 0 and d <= cap)
 
