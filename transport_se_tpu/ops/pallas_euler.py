@@ -144,25 +144,25 @@ def _roll_coeffs(deriv: np.ndarray, transpose: bool):
     return cx, cy
 
 
-def _mxu_weights(deriv: np.ndarray) -> np.ndarray:
-    """Block-diagonal MXU derivative weights, stacked [2*128, 128].
+def _mxu_weights(deriv: np.ndarray, m: int = 128) -> np.ndarray:
+    """Block-diagonal MXU derivative weights, stacked [2*m, m].
 
-    With eb = 8 elements per grid step the [eb, 16, L] operand views as
-    [128, L], and a point-axis derivative over all 8 elements is ONE
-    128-contraction matmul with a block-diagonal weight — full MXU
-    utilization (the 16x16 per-element blocks are dense on the diagonal;
-    the zeros off-diagonal cost nothing on a systolic array).  Per-element
-    blocks: d/dx = D (x) I4 (contract the i index of the (i,j) point
-    raster), d/dy = I4 (x) D (contract j).  Precision HIGHEST keeps the
-    result within f32 roundoff of the roll path (measured 1.6e-7 max rel,
-    scripts/microbench_deriv.py)."""
+    With eb elements per grid step the [eb, 16, L] operand views as
+    [m = eb*16, L] (m a multiple of 128), and a point-axis derivative
+    over all eb elements is ONE m-contraction matmul with a
+    block-diagonal weight — full MXU utilization (the 16x16 per-element
+    blocks are dense on the diagonal; the zeros off-diagonal cost nothing
+    on a systolic array).  Per-element blocks: d/dx = D (x) I4 (contract
+    the i index of the (i,j) point raster), d/dy = I4 (x) D (contract j).
+    Precision HIGHEST keeps the result within f32 roundoff of the roll
+    path (measured 1.6e-7 max rel, scripts/microbench_deriv.py)."""
     n = deriv.shape[0]
     n2 = n * n
     blocks = [np.kron(deriv, np.eye(n)), np.kron(np.eye(n), deriv)]
-    w = np.zeros((len(blocks) * 128, 128))
+    w = np.zeros((len(blocks) * m, m))
     for s, blk in enumerate(blocks):
-        for b in range(128 // n2):
-            r = s * 128 + b * n2
+        for b in range(m // n2):
+            r = s * m + b * n2
             w[r:r + n2, b * n2:(b + 1) * n2] = blk
     return w
 
@@ -542,8 +542,9 @@ def _euler_kernel3(nq, dt, rhs_viss, bih_mode, nu_coef, prec, max_iter,
         return o.reshape(eb_, 16, L)
 
     w_all = w_ref[...]
-    wx = w_all[0:128]
-    wy = w_all[128:256]
+    M = eb_ * 16
+    wx = w_all[0:M]
+    wy = w_all[M:2 * M]
 
     met = met_ref[...]
     sw = lambda i: jnp.swapaxes(met[:, i:i + 1, :], -1, -2)  # [eb,16,1]
@@ -875,7 +876,7 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
     out_shape = (jax.ShapeDtypeStruct((E, N2, qk), f),
                  jax.ShapeDtypeStruct((E, qk), f),
                  jax.ShapeDtypeStruct((E, qk), f))
-    if KERNEL_VERSION == 3 and eb * N2 == 128:
+    if KERNEL_VERSION == 3 and (eb * N2) % 128 == 0:
         prec = (jax.lax.Precision.DEFAULT if rhs_bf16
                 else MXU_PRECISION)
         kernel = functools.partial(_euler_kernel3, nq, dt, rhs_viss,
@@ -886,14 +887,15 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
             grid=(E // eb,),
             in_specs=[be(qk), be(nk), be(nk), be(nk), be(nk), bmet,
                       brow, brow,
-                      pl.BlockSpec((2 * 128, 128), lambda e: (0, 0),
+                      pl.BlockSpec((2 * eb * N2, eb * N2),
+                                   lambda e: (0, 0),
                                    memory_space=pltpu.VMEM),
                       bcoef(4), bcoef(4), bcoef(4), bcoef(4), bcoef(4),
                       blane, be(qk if has_bih else 1)],
             out_specs=out_specs, out_shape=out_shape,
             compiler_params=cp, interpret=interpret,
         )(qdp_r, u_r, v_r, dp_r, divdp_r, met_pack, qmin_r, qmax_r,
-          jnp.asarray(_mxu_weights(deriv_np), f),
+          jnp.asarray(_mxu_weights(deriv_np, eb * N2), f),
           jnp.asarray(cx, f), jnp.asarray(cy, f),
           jnp.asarray(_ddy_mask_mat(), f),
           jnp.asarray(cxt, f), jnp.asarray(cyt, f), dp0lane, bih_r)
