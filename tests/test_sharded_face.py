@@ -145,12 +145,13 @@ def test_sharded_face_pipeline_matches_single(ne, S):
                                               jnp.asarray(0, jnp.int32))
 
     mesh = make_mesh(jax.devices()[:S])
-    runner = make_sharded_subcycle(m, mesh)
+    # overlap=True FORCES the face+overlap composition (toy shards fall
+    # over the auto heuristic's 50% boundary-group threshold): the halo
+    # payload comes from the duplicate boundary-group kernel, so this
+    # test also certifies that duplicate is bitwise-consistent
+    runner = make_sharded_subcycle(m, mesh, overlap=True)
     assert runner.plan.nbound == 0      # no overlap reordering: raster
     assert runner.plan.halo_gid is not None
-    # the face+overlap composition is auto-on here (pallas + limiter 8):
-    # the halo payload comes from the duplicate boundary-group kernel, so
-    # this test also certifies that duplicate is bitwise-consistent
     nbv = runner.plan.bmask.sum(axis=1)
     assert 0 < nbv.min() and nbv.max() < runner.plan.eloc
     Qs = runner.shard_qdp(Qdp)

@@ -69,11 +69,22 @@ def make_sharded_subcycle(m: Model, mesh: Mesh,
     # the gather path overlaps via boundary-first element reordering
     use_face = (m.cfg.dss_mode == "face"
                 and getattr(m.tables, "face", None) is not None)
+    overlap_auto = overlap is None
     if overlap is None:
         overlap = (m.cfg.use_pallas and m.cfg.limiter_option == 8
                    and not diagnostics)
     overlap_face = bool(overlap and use_face)
     plan = build_shard_plan(m.grid, S, overlap=overlap and not use_face)
+    if overlap_face and overlap_auto:
+        # the duplicate boundary-group producer costs bgrp/eloc extra
+        # kernel work to let the halo permutes overlap the full-field
+        # kernel; when the group is most of the shard (tiny toy shards -
+        # NE8/S=8 is 75%) that's a pure loss (measured
+        # artifacts/SCALING_r04.md), while production shards sit at
+        # 6-37% (NE120/S=8: 6%).  Auto mode enables it only below 50%;
+        # overlap=True forces it regardless.
+        frac = plan.bmask.sum(axis=1).max() / plan.eloc
+        overlap_face = bool(frac <= 0.5)
     perm = plan.perm
     inv_perm = np.empty_like(perm)
     inv_perm[perm] = np.arange(perm.size)
