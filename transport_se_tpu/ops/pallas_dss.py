@@ -185,7 +185,10 @@ def _dss_face_kernel(by, ne, nlev, with_scale, with_minmax, with_lap,
         q = res / dpl
         qmin_ref[0] = q.min(axis=2)
         qmax_ref[0] = q.max(axis=2)
-        if with_lap:
+        if with_lap and _os.environ.get("TSE_DSS_ABLATE_LAP"):
+            # profiling-only: keep the lap output's DMA, skip its VPU work
+            lap_ref[0] = q
+        elif with_lap:
             # weak Laplacian of Q = out/dp in the epilogue (the kernel is
             # DMA-bound; the rolls ride the idle VPU) — the biharmonic
             # stage's first laplace_sphere_wk (viscosity_mod.F90:289-351)

@@ -23,6 +23,7 @@ unbounded search path).
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,41 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 N2 = 16
+
+# profiling-only ablations (comma list; results are WRONG with any set):
+#   sel  = skip the 6-shift cell select (massn from shift 0 only)
+#   cum  = skip the tracer-width masso cumsum
+#   coef = skip the PPM reconstruction (al = ar = a)
+#   rep  = replace level->tracer lane tiling with a lane-0 broadcast
+_ABLATE = set(filter(None, _os.environ.get("TSE_PPM_ABLATE", "").split(",")))
+
+
+def _cumsum_weights(nq: int, nk: int):
+    """Per-128-lane-chunk MXU weights for the tracer-width exclusive
+    prefix sum (masso).
+
+    For chunk c the prefix at lane j reaches back at most nk-1 <= 127
+    lanes, so two dots cover it:  out_c = x_{c-1} @ Wlo[c] + x_c @ Whi[c]
+    (chunk 0 has no lo term; weights beyond qk are zero).  The weights are
+    0/1 matrices, so HIGHEST-precision dots reproduce each term exactly;
+    only the accumulation order differs from the doubling-roll form
+    (roundoff-level, like any reassociated sum).  Requires nk <= 128.
+    Returns [nb, 2, 128, 128] (lo, hi)."""
+    qk = nq * nk
+    nb = -(-qk // 128)
+    w = np.zeros((nb, 2, 128, 128))
+    for c in range(nb):
+        for j in range(128):
+            lane = c * 128 + j
+            if lane >= qk:
+                continue
+            g0 = (lane // nk) * nk          # group start (same tracer)
+            for i in range(g0, lane):       # exclusive prefix
+                if i >= c * 128:
+                    w[c, 1, i - c * 128, j] = 1.0
+                elif c > 0 and i >= (c - 1) * 128:
+                    w[c, 0, i - (c - 1) * 128, j] = 1.0
+    return w
 
 
 def _masks_host(nq: int, nk: int):
@@ -58,8 +94,12 @@ def _rollR(x, n):
     return pltpu.roll(x, n % x.shape[-1], axis=x.ndim - 1)
 
 
-def _kernel(nq, nk, alg, csteps,
-            qdp_ref, dps_ref, dpr_ref, mask_ref, out_ref):
+def _kernel(nq, nk, alg, csteps, mxu,
+            qdp_ref, dps_ref, dpr_ref, mask_ref, *rest):
+    if mxu:
+        cw_ref, out_ref = rest
+    else:
+        cw_ref, (out_ref,) = None, rest
     """One element block: qdp [eb,16,qk]; dp_star/dp_ref [eb,16,k].
 
     Structure: every level-only quantity (interface cumsums, the ten PPM
@@ -78,8 +118,12 @@ def _kernel(nq, nk, alg, csteps,
     masks_k = masks[:, :nk]            # level-width copies (period nk)
     kidx = masks_k[7:8]
     kf = jnp.asarray(float(nk), f)
-    rep = (lambda a: a) if nq == 1 else \
-        (lambda a: pltpu.repeat(a, nq, axis=a.ndim - 1))
+    if "rep" in _ABLATE and nq > 1:
+        rep = lambda a: jnp.broadcast_to(a[..., :1],
+                                         a.shape[:-1] + (nq * nk,))
+    else:
+        rep = (lambda a: a) if nq == 1 else \
+            (lambda a: pltpu.repeat(a, nq, axis=a.ndim - 1))
 
     def cumsum_k(x, mrows):
         out = x
@@ -171,19 +215,23 @@ def _kernel(nq, nk, alg, csteps,
     a = qdp / dp1q
     am1 = s1Rq(a)
     ap1 = s1Lq(a)
-    da = rep(c1) * (rep(c2) * (ap1 - a) + rep(c3) * (a - am1))
+    # fold c1 into the level-width products: two lane tilings, not three
+    da = rep(c1 * c2) * (ap1 - a) + rep(c1 * c3) * (a - am1)
     dma = jnp.minimum(jnp.minimum(jnp.abs(da), 2.0 * jnp.abs(a - am1)),
                       2.0 * jnp.abs(ap1 - a)) * jnp.sign(da)
     dma = jnp.where((ap1 - a) * (a - am1) <= 0.0, 0.0, dma)
 
     lastq = rep(last)
-    dma_jp1 = s1Lq(dma) * (1.0 - lastq)  # ghost dma above the top is 0
-    ai_r = a + rep(c4) * (ap1 - a) + (rep(c678) * (ap1 - a)
-                                      - rep(c5 * c9) * dma_jp1
-                                      + rep(c5 * c10) * dma)
     first = (kidx_q < 1).astype(f)
     sixth = jnp.asarray(1.0 / 6.0, f)
-    ai_l = first * (a - sixth * dma) + (1.0 - first) * s1Rq(ai_r)
+    if "coef" in _ABLATE:
+        ai_r = a
+        ai_l = a
+    else:
+        dma_jp1 = s1Lq(dma) * (1.0 - lastq)  # ghost dma above the top is 0
+        ai_r = a + rep(c4 + c678) * (ap1 - a) \
+            - rep(c5 * c9) * dma_jp1 + rep(c5 * c10) * dma
+        ai_l = first * (a - sixth * dma) + (1.0 - first) * s1Rq(ai_r)
 
     # stage 3: limited parabola
     al = ai_l
@@ -205,7 +253,38 @@ def _kernel(nq, nk, alg, csteps,
         coef1 = (1.0 - edge2) * coef1
         coef2 = (1.0 - edge2) * coef2
 
-    masso = cumsum_k(qdp, masks) - qdp   # mass below cell k (exclusive)
+    if "cum" in _ABLATE:
+        masso = qdp
+    elif mxu:
+        # exclusive prefix on the MXU (_cumsum_weights): two [128,128]
+        # dots per lane chunk run concurrently with the VPU's reconstruc-
+        # tion math instead of 7 serialized full-width doubling rolls
+        eb_, _, qk_ = qdp.shape
+        R = eb_ * N2
+        xf = qdp.reshape(R, qk_)
+        nb = cw_ref.shape[0]
+        Lp = nb * 128
+        if Lp != qk_:
+            xf = jnp.concatenate(
+                [xf, jnp.zeros((R, Lp - qk_), f)], axis=-1)
+        outs = []
+        for c in range(nb):
+            hi = xf[:, c * 128:(c + 1) * 128]
+            acc = jax.lax.dot_general(
+                hi, cw_ref[c, 1], (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=f)
+            if c > 0:
+                lo = xf[:, (c - 1) * 128:c * 128]
+                acc = acc + jax.lax.dot_general(
+                    lo, cw_ref[c, 0], (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=f)
+            outs.append(acc)
+        masso = jnp.concatenate(outs, axis=-1)[:, :qk_] \
+            .reshape(eb_, N2, qk_)
+    else:
+        masso = cumsum_k(qdp, masks) - qdp   # mass below cell k (exclusive)
 
     # ---- fused select + parabola integral --------------------------------
     # massn[k] = masso[k+d] + sum_j coef_j[k+d] * Y_j[k] at the selected
@@ -224,6 +303,8 @@ def _kernel(nq, nk, alg, csteps,
 
     shifts = ((m_0, 0), (m_1, 1), (m_2, 2), (m_3, 3),
               (m_m1, -1), (m_m2, -2))
+    if "sel" in _ABLATE:
+        shifts = ((m_0, 0),)
     massn = None
     for mk, d in shifts:
         if d == 0:
@@ -243,12 +324,15 @@ def _kernel(nq, nk, alg, csteps,
 
 
 def remap_q_ppm_pallas_t(Qt, dp_star, dp_ref, alg=0, interpret=None,
-                         eb=1):
+                         eb=1, mxu=None):
     """PPM remap on T-layout fields.
 
     Qt:      [E, 16, q*k]  tracer mass (k lane-minor per tracer)
     dp_star: [E, 16, k]    source (Lagrangian) widths
     dp_ref:  [E, 16, k]    target (reference) widths
+    mxu:     run the tracer-width exclusive prefix (masso) as per-chunk
+             MXU dots instead of doubling rolls (default on when k fits
+             one lane chunk; reassociates that sum at roundoff level).
     Returns remapped Qt, conserving each column's total mass.
     """
     if interpret is None:
@@ -257,6 +341,10 @@ def remap_q_ppm_pallas_t(Qt, dp_star, dp_ref, alg=0, interpret=None,
     nk = dp_star.shape[-1]
     nq = qk // nk
     f = Qt.dtype
+    if mxu is None:
+        mxu = nk <= 128 and _os.environ.get("TSE_PPM_MXU", "1") \
+            not in ("0", "", "off")
+    mxu = bool(mxu and nk <= 128)
     masks_np, csteps = _masks_host(nq, nk)
     masks = jnp.asarray(masks_np, f)
     if E % eb != 0:
@@ -266,11 +354,17 @@ def remap_q_ppm_pallas_t(Qt, dp_star, dp_ref, alg=0, interpret=None,
                                  memory_space=pltpu.VMEM)
     bm = pl.BlockSpec((8, qk), lambda e: (0, 0),
                       memory_space=pltpu.VMEM)
-    kernel = functools.partial(_kernel, nq, nk, alg, csteps)
+    kernel = functools.partial(_kernel, nq, nk, alg, csteps, mxu)
+    extra_in, extra_specs = [], []
+    if mxu:
+        cw = jnp.asarray(_cumsum_weights(nq, nk), f)
+        extra_in.append(cw)
+        extra_specs.append(pl.BlockSpec(cw.shape, lambda e: (0, 0, 0, 0),
+                                        memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kernel,
         grid=(E // eb,),
-        in_specs=[be(qk), be(nk), be(nk), bm],
+        in_specs=[be(qk), be(nk), be(nk), bm] + extra_specs,
         out_specs=be(qk),
         out_shape=jax.ShapeDtypeStruct((E, N2, qk), f),
         # the ~35 [eb,16,qk] intermediates exceed the 16M default scoped
@@ -279,4 +373,4 @@ def remap_q_ppm_pallas_t(Qt, dp_star, dp_ref, alg=0, interpret=None,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(Qt, dp_star, dp_ref, masks)
+    )(Qt, dp_star, dp_ref, masks, *extra_in)
