@@ -122,6 +122,13 @@ def main():
     p.add_argument("--accounting-only", action="store_true",
                    help="stop after shard-plan + full-size state init + "
                         "per-shard memory accounting (minutes, not hours)")
+    p.add_argument("--pallas", action="store_true",
+                   help="phase 2 with the Pallas T pipeline (interpret "
+                        "mode on CPU: hours per interval; default runs "
+                        "the XLA pipeline through the same banded "
+                        "face-shift sharded DSS, which completes in "
+                        "minutes and certifies the same tables/"
+                        "collectives at full horizontal scale)")
     args = p.parse_args()
 
     # At full size, one core time-slicing 8 virtual devices takes minutes
@@ -147,11 +154,16 @@ def main():
             "full-72L-35q", 1e-5, accounting_only=args.accounting_only))
     if args.phase in ("2", "all"):
         # phase 2: full horizontal scale through the banded face-shift
-        # sharded DSS + fused T pipeline (interpret-mode kernels)
+        # sharded DSS.  Default: XLA pipeline (std layout dispatching
+        # dss_sum through the band assembly — halo.py dss_sum); --pallas
+        # runs the fused T pipeline instead (interpret-mode kernels on
+        # CPU: hours per interval; same tables, certified bitwise-equal
+        # at small ne by tests/test_sharded_face.py)
         results.append(run_phase(
             dict(ne=120, nlev=8, qsize=2, tstep=75.0, vcoord="dcmip8",
                  test_case="dcmip1-2", nu_q=1e13, nmax=3, dtype="f32",
-                 use_pallas=True, dss_mode="face", elem_order="raster"),
+                 use_pallas=args.pallas, dss_mode="face",
+                 elem_order="raster"),
             "face-sharded-8L-2q", 1e-5,
             accounting_only=args.accounting_only))
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

@@ -160,3 +160,49 @@ def test_sharded_face_pipeline_matches_single(ne, S):
                                np.asarray(single),
                                rtol=1e-12, atol=1e-13)
     assert float(min_dp) > 0
+
+
+def test_sharded_std_layout_dss_sum_face_bitwise():
+    """ShardedDssTables.dss_sum (std layout [E, B.., 4, 4]) dispatches
+    through the banded face assembly when face tables are present
+    (halo.py dss_sum) — bitwise vs the single-device face DSS.  This is
+    the path the XLA (use_pallas=False) sharded pipeline takes, e.g. the
+    NE120 phase-2 rehearsal."""
+    ne, S = 6, 8
+    grid = build_grid(ne, order="raster")
+    E = grid.nelem
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.standard_normal((E, 3, 5, 4, 4)))
+    ft = build_face_tables(grid)
+    xt = jnp.moveaxis(x.reshape(E, 15, 16), 1, 2)
+    want = np.moveaxis(np.asarray(dss_sum_t_face(xt, ft)), 2, 1) \
+        .reshape(E, 3, 5, 4, 4)
+
+    plan = build_shard_plan(grid, S)
+    ftabs = build_sharded_face_tables(grid, plan, ft)
+    dims = ftabs.pop("_dims")
+    tabs = {k: jnp.asarray(v) for k, v in ftabs.items()}
+    tabs.update(send_elem=jnp.asarray(plan.send_elem),
+                send_mask=jnp.asarray(plan.send_mask),
+                recv_slot=jnp.asarray(plan.recv_slot),
+                recv_mask=jnp.asarray(plan.recv_mask),
+                part_idx=jnp.asarray(plan.part_idx),
+                part_mask=jnp.asarray(plan.part_mask),
+                nbr=jnp.asarray(plan.nbr))
+    mesh = make_mesh(jax.devices()[:S])
+
+    def body(xs, t):
+        face = tables_from_stack(
+            {k: t[k][0] for k in t if k.startswith("f_")}, dims)
+        tables = ShardedDssTables(
+            axis_name="e", eloc=plan.eloc, nhalo=plan.nhalo,
+            perms=plan.perms, face=face,
+            **{k: t[k][0] for k in t if not k.startswith("f_")})
+        return tables.dss_sum(xs)
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("e"), {k: P("e") for k in tabs}),
+        out_specs=P("e"), check_vma=False))
+    got = np.asarray(fn(x, tabs))
+    np.testing.assert_array_equal(got, want)

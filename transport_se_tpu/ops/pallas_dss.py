@@ -189,10 +189,14 @@ def _dss_face_kernel(by, ne, nlev, with_scale, with_minmax, with_lap,
             # profiling-only: keep the lap output's DMA, skip its VPU work
             lap_ref[0] = q
         elif with_lap:
-            # weak Laplacian of Q = out/dp in the epilogue (the kernel is
-            # DMA-bound; the rolls ride the idle VPU) — the biharmonic
-            # stage's first laplace_sphere_wk (viscosity_mod.F90:289-351)
-            # without a separate HBM round trip of the field
+            # weak Laplacian of Q = out/dp in the epilogue — the
+            # biharmonic stage's first laplace_sphere_wk
+            # (viscosity_mod.F90:289-351) without a separate HBM round
+            # trip of the field.  Costs ~7 ms of VPU at NE30/35tr
+            # (scripts/bench_dss_lap_ablate.py: no-lap 6.1, +DMA 7.3,
+            # full 14.3); a merged [by, ne*16, bc] wide-roll form
+            # (_roll16_m) was measured WORSE (17.8 ms) — long sublane
+            # rolls cost more than the narrow per-element 16-rolls.
             met = met_ref[0]                       # [by, ne, 5, 16]
             # slice-then-swap (int+None fancy indexing lowers to an
             # unsupported >2D gather in Mosaic)

@@ -287,6 +287,15 @@ class ShardedDssTables:
 
     # -- same combine semantics as ops/dss.py ------------------------------
     def dss_sum(self, x):
+        if self.face is not None:
+            # banded face assembly for the std layout too (one production
+            # assembly at any layout/rank count — edge_mod.F90:366/648,
+            # mirroring DssTables.dss_sum's face-mode T-view round trip)
+            E = x.shape[0]
+            nn = x.shape[-1] * x.shape[-2]
+            xt = jnp.moveaxis(x.reshape(E, -1, nn), 1, 2)     # [E, nn, B]
+            out = self.dss_sum_t(xt)
+            return jnp.moveaxis(out, 2, 1).reshape(x.shape)
         xe = self.halo_extend(x)
         E1 = xe.shape[0]
         nn = x.shape[-1] * x.shape[-2]
