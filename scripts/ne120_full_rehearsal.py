@@ -115,6 +115,97 @@ def run_phase(cfg_kwargs, tag, tol, accounting_only=False):
     return out
 
 
+def run_phase1_chunked(rsplit, qchunk, out_path):
+    """Full-size phase 1 with the 35 tracers advected in sequential
+    q-chunks (separate XLA executions sharing one compiled program).
+
+    Rationale: one full-shape [86400,16,72,35] interval under the 8-way
+    time-sliced CPU mesh holds every shard's intermediates on the host
+    simultaneously and OOMs at >125 GB (measured 2026-08-20: oom-kill at
+    130 GB anon-rss during the first execution).  On 8 real chips each
+    shard's persistent state is 1.74 GB against 16 GB HBM (accounting
+    log) and no such aggregation exists.  Tracer blocking is also what
+    the reference GPU path does (cuda_mod tracer blocking); chunk 0 of
+    the dcmip1-2 set contains every *distinct* tracer field (tracer 1,
+    the layer tracer, the checkerboard), later chunks are the
+    checkerboard repeats exactly as qsize=35 fills them.  All 35 tracers
+    execute the full interval; conservation is checked per chunk and
+    results append to disk incrementally so a killed window keeps its
+    completed chunks.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from transport_se_tpu.config import Config
+    from transport_se_tpu.model.core import build_model, initial_qdp
+    from transport_se_tpu.parallel.sharded import (make_mesh,
+                                                   make_sharded_subcycle)
+
+    QTOT = 35
+    tag = f"full-72L-35q-rsplit{rsplit}-qc{qchunk}"
+    t0 = time.time()
+    cfg = Config(ne=120, nlev=72, qsize=qchunk, tstep=75.0,
+                 vcoord="acme72", test_case="dcmip1-2", nu_q=1e13,
+                 nmax=3, dtype="f32", rsplit=rsplit)
+    m = build_model(cfg)
+    print(f"[{tag}] grid+model build: {time.time()-t0:.1f}s "
+          f"(E={m.grid.nelem})", flush=True)
+    t0 = time.time()
+    mesh = make_mesh()
+    runner = make_sharded_subcycle(m, mesh)
+    print(f"[{tag}] shard plan ({mesh.devices.size} shards): "
+          f"{time.time()-t0:.1f}s, nrounds={runner.plan.nrounds}, "
+          f"nhalo={runner.plan.nhalo}, eloc={runner.plan.eloc}",
+          flush=True)
+    sp = m.spheremp[jnp.asarray(runner.plan.perm)]
+    nchunks = -(-QTOT // qchunk)
+    chunks = []
+    twall = 0.0
+    worst = 0.0
+    for ci in range(nchunks):
+        t0 = time.time()
+        Qdp0 = runner.shard_qdp(jax.jit(lambda: initial_qdp(m))())
+        jax.block_until_ready(Qdp0)
+        tinit = time.time() - t0
+        t0 = time.time()
+        Qdp, ps_v, nstep, min_dp = runner.step(
+            Qdp0, jnp.asarray(0, jnp.int32))
+        jax.block_until_ready(Qdp)
+        wall = time.time() - t0
+        twall += wall
+        mass0 = np.asarray(
+            (Qdp0 * sp[:, None, None]).sum(axis=(0, 2, 3, 4)))
+        mass1 = np.asarray(
+            (Qdp * sp[:, None, None]).sum(axis=(0, 2, 3, 4)))
+        rel = float((np.abs(mass1 - mass0) / np.abs(mass0)).max())
+        worst = max(worst, rel)
+        assert float(min_dp) > 0, "health check failed"
+        assert rel < 1e-5, f"mass drift {rel}"
+        rec = dict(tag=tag, chunk=ci, nchunks=nchunks,
+                   wall_interval_s=round(wall, 1),
+                   init_s=round(tinit, 1), mass_drift=rel,
+                   host_peak_rss_gb=round(peak_rss_gb(), 1))
+        chunks.append(rec)
+        print(f"[{tag}] chunk {ci+1}/{nchunks}: interval {wall:.1f}s "
+              f"(init {tinit:.1f}s), mass drift {rel:.3e}, peak RSS "
+              f"{peak_rss_gb():.1f} GB", flush=True)
+        with open(out_path, "w") as f:
+            json.dump(chunks, f, indent=1)
+    out = dict(tag=tag, E=m.grid.nelem, shards=int(mesh.devices.size),
+               eloc=runner.plan.eloc, nrounds=int(runner.plan.nrounds),
+               nhalo=int(runner.plan.nhalo), qsize_total=QTOT,
+               qchunk=qchunk, nlev=cfg.nlev, rsplit=rsplit,
+               wall_total_s=round(twall, 1), mass_drift=worst,
+               host_peak_rss_gb=round(peak_rss_gb(), 1),
+               dss=cfg.dss_mode)
+    chunks.append(out)
+    with open(out_path, "w") as f:
+        json.dump(chunks, f, indent=1)
+    print(f"[{tag}] ALL {nchunks} CHUNKS OK " + json.dumps(out),
+          flush=True)
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--phase", default="all", choices=["1", "2", "all"])
@@ -129,6 +220,17 @@ def main():
                         "face-shift sharded DSS, which completes in "
                         "minutes and certifies the same tables/"
                         "collectives at full horizontal scale)")
+    p.add_argument("--p1-qchunk", type=int, default=0,
+                   help="advect the 35 tracers in sequential chunks of "
+                        "this size (0 = one 35-wide execution; chunking "
+                        "caps host intermediate memory under the "
+                        "time-sliced CPU mesh — see run_phase1_chunked)")
+    p.add_argument("--p1-rsplit", type=int, default=3,
+                   help="rsplit for phase 1 (default 3 = the production "
+                        "remap interval of 3 tracer steps; 1 runs a "
+                        "complete 1-step interval at the exact same "
+                        "per-op shapes in ~1/3 the single-core wall, for "
+                        "windows too short to hold the 3-step interval)")
     args = p.parse_args()
 
     # At full size, one core time-slicing 8 virtual devices takes minutes
@@ -148,10 +250,17 @@ def main():
     if args.phase in ("1", "all"):
         # phase 1: the FULL production size (the reference headline
         # config's exact shapes), XLA pipeline
-        results.append(run_phase(
-            dict(ne=120, nlev=72, qsize=35, tstep=75.0, vcoord="acme72",
-                 test_case="dcmip1-2", nu_q=1e13, nmax=3, dtype="f32"),
-            "full-72L-35q", 1e-5, accounting_only=args.accounting_only))
+        if args.p1_qchunk and not args.accounting_only:
+            results.append(run_phase1_chunked(
+                args.p1_rsplit, args.p1_qchunk, args.out))
+        else:
+            tag = ("full-72L-35q" if args.p1_rsplit == 3
+                   else f"full-72L-35q-rsplit{args.p1_rsplit}")
+            results.append(run_phase(
+                dict(ne=120, nlev=72, qsize=35, tstep=75.0,
+                     vcoord="acme72", test_case="dcmip1-2", nu_q=1e13,
+                     nmax=3, dtype="f32", rsplit=args.p1_rsplit),
+                tag, 1e-5, accounting_only=args.accounting_only))
     if args.phase in ("2", "all"):
         # phase 2: full horizontal scale through the banded face-shift
         # sharded DSS.  Default: XLA pipeline (std layout dispatching
