@@ -36,6 +36,23 @@ def peak_rss_gb():
     return -1.0
 
 
+def _mass_drift(Qdp0, Qdp, sp, qsize, nlev):
+    """Per-tracer relative mass drift, shared by run_phase and the
+    chunked phase-1 path (handles both the std 5-D and T 3-D layouts)."""
+    import numpy as np
+    if Qdp.ndim == 3:          # T layout [E, 16, qk]
+        w = sp.reshape(-1, 16, 1)
+        mass0 = np.asarray((Qdp0 * w).sum(axis=(0, 1)))
+        mass1 = np.asarray((Qdp * w).sum(axis=(0, 1)))
+        mass0 = mass0.reshape(qsize, nlev).sum(axis=1)
+        mass1 = mass1.reshape(qsize, nlev).sum(axis=1)
+    else:                      # std layout [E, q, K, n, n]
+        w = sp[:, None, None]
+        mass0 = np.asarray((Qdp0 * w).sum(axis=(0, 2, 3, 4)))
+        mass1 = np.asarray((Qdp * w).sum(axis=(0, 2, 3, 4)))
+    return np.abs(mass1 - mass0) / np.abs(mass0)
+
+
 def run_phase(cfg_kwargs, tag, tol, accounting_only=False):
     import jax
     import jax.numpy as jnp
@@ -93,15 +110,7 @@ def run_phase(cfg_kwargs, tag, tol, accounting_only=False):
           f"{peak_rss_gb():.1f} GB", flush=True)
 
     sp = m.spheremp[jnp.asarray(runner.plan.perm)]
-    if Qdp.ndim == 3:          # T layout [E, 16, qk]
-        mass0 = np.asarray((Qdp0 * sp.reshape(-1, 16, 1)).sum(axis=(0, 1)))
-        mass1 = np.asarray((Qdp * sp.reshape(-1, 16, 1)).sum(axis=(0, 1)))
-        mass0 = mass0.reshape(cfg.qsize, cfg.nlev).sum(axis=1)
-        mass1 = mass1.reshape(cfg.qsize, cfg.nlev).sum(axis=1)
-    else:
-        mass0 = np.asarray((Qdp0 * sp[:, None, None]).sum(axis=(0, 2, 3, 4)))
-        mass1 = np.asarray((Qdp * sp[:, None, None]).sum(axis=(0, 2, 3, 4)))
-    rel = np.abs(mass1 - mass0) / np.abs(mass0)
+    rel = _mass_drift(Qdp0, Qdp, sp, cfg.qsize, cfg.nlev)
     assert float(min_dp) > 0, "health check failed"
     assert rel.max() < tol, f"mass drift {rel.max()}"
     out = dict(tag=tag, E=E, shards=S, eloc=runner.plan.eloc,
@@ -115,7 +124,7 @@ def run_phase(cfg_kwargs, tag, tol, accounting_only=False):
     return out
 
 
-def run_phase1_chunked(rsplit, qchunk, out_path):
+def run_phase1_chunked(rsplit, qchunk, out_path, tol=1e-5):
     """Full-size phase 1 with the 35 tracers advected in sequential
     q-chunks (separate XLA executions sharing one compiled program).
 
@@ -125,13 +134,18 @@ def run_phase1_chunked(rsplit, qchunk, out_path):
     130 GB anon-rss during the first execution).  On 8 real chips each
     shard's persistent state is 1.74 GB against 16 GB HBM (accounting
     log) and no such aggregation exists.  Tracer blocking is also what
-    the reference GPU path does (cuda_mod tracer blocking); chunk 0 of
-    the dcmip1-2 set contains every *distinct* tracer field (tracer 1,
-    the layer tracer, the checkerboard), later chunks are the
-    checkerboard repeats exactly as qsize=35 fills them.  All 35 tracers
-    execute the full interval; conservation is checked per chunk and
-    results append to disk incrementally so a killed window keeps its
-    completed chunks.
+    the reference GPU path does (cuda_mod tracer blocking).
+
+    Coverage note: each chunk re-initializes with qsize=qchunk, so every
+    chunk advects the identical [checkerboard, layer, checkerboard]
+    stack (dcmip1-2's fill is tracer 1 = checkerboard, tracer 2 = hadley
+    layer, 3.. = checkerboard — model/dcmip.py initial_tracers).  That
+    is *equivalent* coverage of the true 35-wide fill (34 checkerboards
+    + 1 layer): both distinct fields run the full interval in every
+    chunk.  ceil(35/qchunk)*qchunk tracer-intervals execute in total
+    (reported as tracer_intervals; one more than 35 at qchunk=3).
+    Conservation is checked per chunk and results append to disk
+    incrementally so a killed window keeps its completed chunks.
     """
     import jax
     import jax.numpy as jnp
@@ -141,6 +155,7 @@ def run_phase1_chunked(rsplit, qchunk, out_path):
     from transport_se_tpu.parallel.sharded import (make_mesh,
                                                    make_sharded_subcycle)
 
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     QTOT = 35
     tag = f"full-72L-35q-rsplit{rsplit}-qc{qchunk}"
     t0 = time.time()
@@ -159,12 +174,13 @@ def run_phase1_chunked(rsplit, qchunk, out_path):
           flush=True)
     sp = m.spheremp[jnp.asarray(runner.plan.perm)]
     nchunks = -(-QTOT // qchunk)
+    init_fn = jax.jit(lambda: initial_qdp(m))
     chunks = []
     twall = 0.0
     worst = 0.0
     for ci in range(nchunks):
         t0 = time.time()
-        Qdp0 = runner.shard_qdp(jax.jit(lambda: initial_qdp(m))())
+        Qdp0 = runner.shard_qdp(init_fn())
         jax.block_until_ready(Qdp0)
         tinit = time.time() - t0
         t0 = time.time()
@@ -173,14 +189,10 @@ def run_phase1_chunked(rsplit, qchunk, out_path):
         jax.block_until_ready(Qdp)
         wall = time.time() - t0
         twall += wall
-        mass0 = np.asarray(
-            (Qdp0 * sp[:, None, None]).sum(axis=(0, 2, 3, 4)))
-        mass1 = np.asarray(
-            (Qdp * sp[:, None, None]).sum(axis=(0, 2, 3, 4)))
-        rel = float((np.abs(mass1 - mass0) / np.abs(mass0)).max())
+        rel = float(_mass_drift(Qdp0, Qdp, sp, qchunk, cfg.nlev).max())
         worst = max(worst, rel)
         assert float(min_dp) > 0, "health check failed"
-        assert rel < 1e-5, f"mass drift {rel}"
+        assert rel < tol, f"mass drift {rel}"
         rec = dict(tag=tag, chunk=ci, nchunks=nchunks,
                    wall_interval_s=round(wall, 1),
                    init_s=round(tinit, 1), mass_drift=rel,
@@ -194,8 +206,12 @@ def run_phase1_chunked(rsplit, qchunk, out_path):
     out = dict(tag=tag, E=m.grid.nelem, shards=int(mesh.devices.size),
                eloc=runner.plan.eloc, nrounds=int(runner.plan.nrounds),
                nhalo=int(runner.plan.nhalo), qsize_total=QTOT,
-               qchunk=qchunk, nlev=cfg.nlev, rsplit=rsplit,
-               wall_total_s=round(twall, 1), mass_drift=worst,
+               qchunk=qchunk, tracer_intervals=nchunks * qchunk,
+               nlev=cfg.nlev, rsplit=rsplit,
+               wall_total_s=round(twall, 1),
+               wall_per_35_tracers_s=round(twall * QTOT
+                                           / (nchunks * qchunk), 1),
+               mass_drift=worst,
                host_peak_rss_gb=round(peak_rss_gb(), 1),
                dss=cfg.dss_mode)
     chunks.append(out)
@@ -246,13 +262,23 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     results = []
+    chunk_detail = []
     if args.phase in ("1", "all"):
         # phase 1: the FULL production size (the reference headline
         # config's exact shapes), XLA pipeline
         if args.p1_qchunk and not args.accounting_only:
             results.append(run_phase1_chunked(
                 args.p1_rsplit, args.p1_qchunk, args.out))
+            # the chunked run wrote its per-chunk records (the
+            # crash-resilience deliverable) to args.out — preserve them
+            # in the final merged dump instead of overwriting
+            try:
+                with open(args.out) as f:
+                    chunk_detail = [r for r in json.load(f) if "chunk" in r]
+            except (OSError, ValueError):
+                chunk_detail = []
         else:
             tag = ("full-72L-35q" if args.p1_rsplit == 3
                    else f"full-72L-35q-rsplit{args.p1_rsplit}")
@@ -275,9 +301,8 @@ def main():
                  elem_order="raster"),
             "face-sharded-8L-2q", 1e-5,
             accounting_only=args.accounting_only))
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(chunk_detail + results, f, indent=1)
     print("rehearsal complete ->", args.out, flush=True)
 
 
