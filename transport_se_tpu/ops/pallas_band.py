@@ -29,8 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import RREARTH
-from .pallas_euler import (_ddx_rolls, _ddy_mask_mat, _ddy_rolls,
+from .pallas_euler import (_ddy_mask_mat, _dmat_np, _lap_wk,
                            _roll_coeffs)
 
 __all__ = ["dss_band_pallas"]
@@ -39,7 +38,7 @@ __all__ = ["dss_band_pallas"]
 def _band_kernel(by, ne, nlev, with_scale, with_minmax, with_lap,
                  x_ref, up_ref, dn_ref, gpx_ref, gmx_ref, dv_ref,
                  rsp_ref, dp_ref, met_ref, cx_ref, cy_ref, cxt_ref,
-                 cyt_ref, mask_ref,
+                 cyt_ref, mask_ref, dm_ref,
                  out_ref, qmin_ref=None, qmax_ref=None, lap_ref=None):
     """One band block: x [by, ne, 16, bc] whole element rows.
 
@@ -94,23 +93,15 @@ def _band_kernel(by, ne, nlev, with_scale, with_minmax, with_lap,
         qmin_ref[...] = q.min(axis=2)
         qmax_ref[...] = q.max(axis=2)
         if with_lap:
+            # same LAP_FORM-dispatched weak Laplacian as the single-chip
+            # face kernel (pallas_euler._lap_wk) — keeps the two
+            # assemblies' epilogues structurally identical
             met = met_ref[...]                  # [by, ne, 5, 16]
             msel = lambda i: jnp.swapaxes(met[:, :, i:i + 1, :], -1, -2)
-            d00 = msel(0)
-            d01 = msel(1)
-            d10 = msel(2)
-            d11 = msel(3)
-            spm = msel(4)
-            masks = mask_ref[:]
-            v1 = _ddx_rolls(q, cx_ref[:])
-            v2 = _ddy_rolls(q, cy_ref[:], masks)
-            g1 = d00 * v1 + d10 * v2
-            g2 = d01 * v1 + d11 * v2
-            w1 = (d00 * g1 + d01 * g2) * spm
-            w2 = (d10 * g1 + d11 * g2) * spm
-            t2 = _ddx_rolls(w1, cxt_ref[:]) + _ddy_rolls(w2, cyt_ref[:],
-                                                         masks)
-            lap_ref[...] = -jnp.asarray(RREARTH * RREARTH, f) * t2
+            lap_ref[...] = _lap_wk(q, msel(0), msel(1), msel(2), msel(3),
+                                   msel(4), cx_ref[:], cy_ref[:],
+                                   cxt_ref[:], cyt_ref[:], mask_ref[:],
+                                   dm_ref[:])
 
 
 def _band_prep(x, ext, t):
@@ -276,13 +267,14 @@ def dss_band_pallas(x, ext, t, rsp_band=None, dp=None, nq=None,
         deriv_np = np.asarray(deriv)
         cx, cy = _roll_coeffs(deriv_np, transpose=False)
         cxt, cyt = _roll_coeffs(deriv_np, transpose=True)
+        dmat = _dmat_np(deriv_np)
         out_specs.append(bmain)
         out_shape.append(jax.ShapeDtypeStruct((nrp, ne, nn, Bp), f))
     else:
         metb = jnp.zeros((1, 1, 1, 1), f)
         bmet = pl.BlockSpec((1, 1, 1, 1), lambda r, b: (0, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-        cx = cy = cxt = cyt = np.zeros((nn, 4))
+        cx = cy = cxt = cyt = dmat = np.zeros((nn, 4))
 
     kernel = functools.partial(_band_kernel, by, ne, nlev,
                                with_scale, with_minmax, with_lap)
@@ -290,7 +282,7 @@ def dss_band_pallas(x, ext, t, rsp_band=None, dp=None, nq=None,
         kernel,
         grid=(nrp // by, nb),
         in_specs=[bmain, brow4, brow4, bgx, bgx, brow4, brsp, bdp, bmet,
-                  bcoef, bcoef, bcoef, bcoef, bcoef],
+                  bcoef, bcoef, bcoef, bcoef, bcoef, bcoef],
         out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
         out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
         compiler_params=pltpu.CompilerParams(
@@ -299,7 +291,7 @@ def dss_band_pallas(x, ext, t, rsp_band=None, dp=None, nq=None,
     )(b4, up, dn, gpx, gmx, dband, rspb, dpb.astype(f), metb,
       jnp.asarray(cx, f), jnp.asarray(cy, f),
       jnp.asarray(cxt, f), jnp.asarray(cyt, f),
-      jnp.asarray(_ddy_mask_mat(), f))
+      jnp.asarray(_ddy_mask_mat(), f), jnp.asarray(dmat, f))
 
     z = jnp.zeros((), jnp.int32)
     p0 = jnp.asarray(pos0, jnp.int32)

@@ -33,9 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
 
-from ..constants import RREARTH
 from .pallas_euler import (_ddx_rolls, _ddy_mask_mat, _ddy_rolls,
-                           _roll_coeffs)
+                           _dmat_np, _lap_wk, _roll_coeffs)
 
 # lane-chunk width of the face-DSS grid (bigger chunks = fewer ghost-strip
 # re-DMAs per row block, larger row blocks via _pick_by's byte cap).
@@ -72,7 +71,7 @@ def _dss_face_kernel(by, ne, nlev, with_scale, with_minmax, with_lap,
                      x_ref, xu_ref, xd_ref,
                      gpx_ref, gmx_ref, gpy_ref, gmy_ref,
                      rsp_ref, dp_ref, met_ref, cx_ref, cy_ref,
-                     cxt_ref, cyt_ref, mask_ref, avg_ref,
+                     cxt_ref, cyt_ref, mask_ref, dm_ref, avg_ref,
                      out_ref, qmin_ref=None, qmax_ref=None, lap_ref=None):
     f = x_ref.dtype
     r = pl.program_id(1)
@@ -192,32 +191,20 @@ def _dss_face_kernel(by, ne, nlev, with_scale, with_minmax, with_lap,
             # weak Laplacian of Q = out/dp in the epilogue — the
             # biharmonic stage's first laplace_sphere_wk
             # (viscosity_mod.F90:289-351) without a separate HBM round
-            # trip of the field.  Costs ~7 ms of VPU at NE30/35tr
+            # trip of the field.  Roll form: ~7 ms of VPU at NE30/35tr
             # (scripts/bench_dss_lap_ablate.py: no-lap 6.1, +DMA 7.3,
             # full 14.3); a merged [by, ne*16, bc] wide-roll form
             # (_roll16_m) was measured WORSE (17.8 ms) — long sublane
             # rolls cost more than the narrow per-element 16-rolls.
+            # LAP_FORM picks rolls vs broadcast FMAs (pallas_euler._lap_wk).
             met = met_ref[0]                       # [by, ne, 5, 16]
             # slice-then-swap (int+None fancy indexing lowers to an
             # unsupported >2D gather in Mosaic)
             msel = lambda i: jnp.swapaxes(met[:, :, i:i + 1, :], -1, -2)
-            d00 = msel(0)
-            d01 = msel(1)
-            d10 = msel(2)
-            d11 = msel(3)
-            spm = msel(4)
-            cxj = cx_ref[:]
-            cyj = cy_ref[:]
-            masks = mask_ref[:]
-            v1 = _ddx_rolls(q, cxj)
-            v2 = _ddy_rolls(q, cyj, masks)
-            g1 = d00 * v1 + d10 * v2
-            g2 = d01 * v1 + d11 * v2
-            w1 = (d00 * g1 + d01 * g2) * spm
-            w2 = (d10 * g1 + d11 * g2) * spm
-            t2 = _ddx_rolls(w1, cxt_ref[:]) + _ddy_rolls(w2, cyt_ref[:],
-                                                         masks)
-            lap_ref[0] = -jnp.asarray(RREARTH * RREARTH, f) * t2
+            lap_ref[0] = _lap_wk(q, msel(0), msel(1), msel(2), msel(3),
+                                 msel(4), cx_ref[:], cy_ref[:],
+                                 cxt_ref[:], cyt_ref[:], mask_ref[:],
+                                 dm_ref[:])
 
 
 def dss_face_pallas(x_t, ft, rsp=None, dp=None, nlev=None, interpret=None,
@@ -336,6 +323,7 @@ def dss_face_pallas(x_t, ft, rsp=None, dp=None, nlev=None, interpret=None,
         deriv_np = np.asarray(lap_arrays["deriv"])
         cx, cy = _roll_coeffs(deriv_np, transpose=False)
         cxt, cyt = _roll_coeffs(deriv_np, transpose=True)
+        dmat = _dmat_np(deriv_np)
         out_specs.append(bmain)
         out_shape.append(jax.ShapeDtypeStruct(x6.shape, f))
     else:
@@ -343,7 +331,7 @@ def dss_face_pallas(x_t, ft, rsp=None, dp=None, nlev=None, interpret=None,
         bmet = pl.BlockSpec((1, 1, 1, 1, 1),
                             lambda face, r, b: (face, 0, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-        cx = cy = cxt = cyt = np.zeros((nn, 4))
+        cx = cy = cxt = cyt = dmat = np.zeros((nn, 4))
 
     if with_avg:
         if Bp != B:
@@ -364,7 +352,7 @@ def dss_face_pallas(x_t, ft, rsp=None, dp=None, nlev=None, interpret=None,
         grid=(6, nr, nb),
         in_specs=[bmain, brow_up, brow_dn,
                   bstrip, bstrip, bstrip, bstrip, brsp, bdp, bmet,
-                  bcoef, bcoef, bcoef, bcoef, bcoef, bavg],
+                  bcoef, bcoef, bcoef, bcoef, bcoef, bcoef, bavg],
         out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
         out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
         # the lap-epilogue variant carries two full outputs + metric
@@ -375,7 +363,7 @@ def dss_face_pallas(x_t, ft, rsp=None, dp=None, nlev=None, interpret=None,
     )(x6, x6, x6, gpx, gmx, gpy, gmy, rsp6, dp6, met5,
       jnp.asarray(cx, f), jnp.asarray(cy, f),
       jnp.asarray(cxt, f), jnp.asarray(cyt, f),
-      jnp.asarray(_ddy_mask_mat(), f), avg6)
+      jnp.asarray(_ddy_mask_mat(), f), jnp.asarray(dmat, f), avg6)
 
     if with_minmax:
         ret = [outs[0].reshape(E, nn, Bp)[..., :B],

@@ -82,6 +82,14 @@ MXU_PRECISION = {"default": jax.lax.Precision.DEFAULT,
                  "high": jax.lax.Precision.HIGH,
                  "highest": jax.lax.Precision.HIGHEST}[
                      _os.environ.get("TSE_MXU_PREC", "highest")]
+# weak-Laplacian derivative form inside the fused kernels (the DSS lap1
+# epilogue, the euler kernel's in-kernel lap2, laplace_wk_t):
+#   "roll"  = cyclic sublane rolls (v1 form; ~10-16 full-width ops per
+#             derivative application)
+#   "bcast" = sublane-group broadcast FMAs on the (.., 4, 4, L) view
+#             (v2 form; ~7 ops per application on paper — the reshape
+#             relayout cost is the open question, A/B on hardware)
+LAP_FORM = _os.environ.get("TSE_LAP_FORM", "roll")
 KERNEL_VERSION = int(_os.environ.get("TSE_EULER_KERNEL", "3"))
 # 3 = MXU kernel (default): point-axis derivatives as block-diagonal
 #     [128,128] matmuls over the [eb*16, L] view (requires eb = 8, else
@@ -270,6 +278,52 @@ def _ddy_bcast(x, d):
         t = d[:, s].reshape(1, 1, 4, 1) * a[:, :, s:s + 1, :]
         out = t if out is None else out + t
     return out.reshape(eb_, 16, L_)
+
+
+def _dmat_np(deriv_np):
+    """[16, 4] packed derivative: rows 0-3 = D, 4-7 = D^T, 8-15 zero
+    (the _euler_kernel2 dmat convention, shared by the bcast lap form)."""
+    return np.concatenate([deriv_np, deriv_np.T, np.zeros((8, 4))])
+
+
+def _lap_wk(q, d00, d01, d10, d11, spm, cx, cy, cxt, cyt, masks, dmat):
+    """laplace_sphere_wk on a kernel block q [..., 16, L].
+
+    The weak Laplacian shared by the DSS lap1 epilogue
+    (viscosity_mod.F90:289-351 first half), the euler kernel's in-kernel
+    lap2 (back half), and laplace_wk_t.  Metric factors d00..d11/spm must
+    broadcast against q ([..., 16, 1]).  Derivative applications follow
+    LAP_FORM: rolls (cx/cy/cxt/cyt [16,4] roll coefficients) or
+    sublane-group broadcasts (dmat [16,4]: rows 0-3 D, 4-7 D^T).  The two
+    forms differ by summation association only (roundoff-level).
+    """
+    f = q.dtype
+    if LAP_FORM == "bcast":
+        sh = q.shape
+        L = sh[-1]
+        q3 = q.reshape(-1, N2, L)
+        r3 = lambda a: jnp.broadcast_to(a, sh[:-1] + (1,)) \
+            .reshape(-1, N2, 1)
+        d = dmat[0:4]
+        dT = dmat[4:8]
+        e00, e01, e10, e11, esp = (r3(d00), r3(d01), r3(d10), r3(d11),
+                                   r3(spm))
+        v1 = _ddx_bcast(q3, d)
+        v2 = _ddy_bcast(q3, d)
+        g1 = e00 * v1 + e10 * v2
+        g2 = e01 * v1 + e11 * v2
+        w1 = (e00 * g1 + e01 * g2) * esp
+        w2 = (e10 * g1 + e11 * g2) * esp
+        t2 = _ddxy_bcast(w1, w2, dT)
+        return (-jnp.asarray(RREARTH * RREARTH, f) * t2).reshape(sh)
+    v1 = _ddx_rolls(q, cx)
+    v2 = _ddy_rolls(q, cy, masks)
+    g1 = d00 * v1 + d10 * v2
+    g2 = d01 * v1 + d11 * v2
+    w1 = (d00 * g1 + d01 * g2) * spm
+    w2 = (d10 * g1 + d11 * g2) * spm
+    t2 = _ddx_rolls(w1, cxt) + _ddy_rolls(w2, cyt, masks)
+    return -jnp.asarray(RREARTH * RREARTH, f) * t2
 
 
 def _euler_kernel2(nq, dt, rhs_viss, bih_mode, nu_coef, max_iter,
@@ -515,7 +569,7 @@ def _euler_kernel(nq, dt, rhs_viss, bih_mode, nu_coef, max_iter,
 def _euler_kernel3(nq, dt, rhs_viss, bih_mode, nu_coef, prec, max_iter,
                    qdp_ref, u_ref, v_ref, dp_ref, divdp_ref, met_ref,
                    qmin_ref, qmax_ref, w_ref, cx_ref, cy_ref, mask_ref,
-                   cxt_ref, cyt_ref, dp0_ref, bih_ref,
+                   cxt_ref, cyt_ref, dm_ref, dp0_ref, bih_ref,
                    out_ref, qmin_out_ref, qmax_out_ref):
     """v1 fusion with the advection divergence on the MXU.
 
@@ -578,21 +632,11 @@ def _euler_kernel3(nq, dt, rhs_viss, bih_mode, nu_coef, prec, max_iter,
         qtens = qtens + bih_ref[...]
     elif bih_mode == 2:
         # second weak Laplacian of the DSS'd first Laplacian
-        # (viscosity_mod.F90:289-351 back half) on VPU rolls — see the
+        # (viscosity_mod.F90:289-351 back half) on the VPU — see the
         # kernel docstring for why not MXU
-        b = bih_ref[...]
-        cxj = cx_ref[:]
-        cyj = cy_ref[:]
-        masks = mask_ref[:]
-        v1 = _ddx_rolls(b, cxj)
-        v2 = _ddy_rolls(b, cyj, masks)
-        g1 = d00 * v1 + d10 * v2
-        g2 = d01 * v1 + d11 * v2
-        w1 = (d00 * g1 + d01 * g2) * spheremp
-        w2 = (d10 * g1 + d11 * g2) * spheremp
-        lap2 = -jnp.asarray(RREARTH * RREARTH, f) \
-            * (_ddx_rolls(w1, cxt_ref[:]) + _ddy_rolls(w2, cyt_ref[:],
-                                                       masks))
+        lap2 = _lap_wk(bih_ref[...], d00, d01, d10, d11, spheremp,
+                       cx_ref[:], cy_ref[:], cxt_ref[:], cyt_ref[:],
+                       mask_ref[:], dm_ref[:])
         dp0lane = dp0_ref[:]
         qtens = qtens + jnp.asarray(nu_coef, f) * dp0lane \
             * lap2 * (one / spheremp)
@@ -682,7 +726,7 @@ def _euler_kernel3(nq, dt, rhs_viss, bih_mode, nu_coef, prec, max_iter,
 
 def _laplace_kernel(eb, s_ref, d00_ref, d01_ref, d10_ref, d11_ref,
                     spheremp_ref, cx_ref, cy_ref, cxt_ref, cyt_ref,
-                    mask_ref, out_ref):
+                    mask_ref, dm_ref, out_ref):
     """Weak Laplacian in the [eb, 16, qk] T layout: one VMEM round trip.
 
     laplace_sphere_wk = divergence_sphere_wk(gradient_sphere(s))
@@ -700,20 +744,9 @@ def _laplace_kernel(eb, s_ref, d00_ref, d01_ref, d10_ref, d11_ref,
     d10 = sw(d10_ref)
     d11 = sw(d11_ref)
     spheremp = sw(spheremp_ref)
-    cxj = cx_ref[:]
-    cyj = cy_ref[:]
-    cxtj = cxt_ref[:]
-    cytj = cyt_ref[:]
-    masks = mask_ref[:]
-
-    v1 = _ddx_rolls(s, cxj)
-    v2 = _ddy_rolls(s, cyj, masks)
-    g1 = d00 * v1 + d10 * v2
-    g2 = d01 * v1 + d11 * v2
-    c1 = (d00 * g1 + d01 * g2) * spheremp
-    c2 = (d10 * g1 + d11 * g2) * spheremp
-    t = _ddx_rolls(c1, cxtj) + _ddy_rolls(c2, cytj, masks)
-    out_ref[...] = -jnp.asarray(RREARTH * RREARTH, f) * t
+    out_ref[...] = _lap_wk(s, d00, d01, d10, d11, spheremp,
+                           cx_ref[:], cy_ref[:], cxt_ref[:], cyt_ref[:],
+                           mask_ref[:], dm_ref[:])
 
 
 def laplace_wk_t(s_t, model_arrays, interpret=None, eb=4):
@@ -739,7 +772,8 @@ def laplace_wk_t(s_t, model_arrays, interpret=None, eb=4):
         functools.partial(_laplace_kernel, eb),
         grid=(E // eb,),
         in_specs=[be(B), bmet, bmet, bmet, bmet, bmet,
-                  bcoef(4), bcoef(4), bcoef(4), bcoef(4), bcoef(4)],
+                  bcoef(4), bcoef(4), bcoef(4), bcoef(4), bcoef(4),
+                  bcoef(4)],
         out_specs=be(B),
         out_shape=jax.ShapeDtypeStruct((E, N2, B), f),
         interpret=interpret,
@@ -748,7 +782,7 @@ def laplace_wk_t(s_t, model_arrays, interpret=None, eb=4):
       flat(model_arrays["spheremp"]),
       jnp.asarray(cx, f), jnp.asarray(cy, f),
       jnp.asarray(cxt, f), jnp.asarray(cyt, f),
-      jnp.asarray(_ddy_mask_mat(), f))
+      jnp.asarray(_ddy_mask_mat(), f), jnp.asarray(_dmat_np(deriv), f))
 
 
 def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
@@ -891,14 +925,15 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
                                    lambda e: (0, 0),
                                    memory_space=pltpu.VMEM),
                       bcoef(4), bcoef(4), bcoef(4), bcoef(4), bcoef(4),
-                      blane, be(qk if has_bih else 1)],
+                      bcoef(4), blane, be(qk if has_bih else 1)],
             out_specs=out_specs, out_shape=out_shape,
             compiler_params=cp, interpret=interpret,
         )(qdp_r, u_r, v_r, dp_r, divdp_r, met_pack, qmin_r, qmax_r,
           jnp.asarray(_mxu_weights(deriv_np, eb * N2), f),
           jnp.asarray(cx, f), jnp.asarray(cy, f),
           jnp.asarray(_ddy_mask_mat(), f),
-          jnp.asarray(cxt, f), jnp.asarray(cyt, f), dp0lane, bih_r)
+          jnp.asarray(cxt, f), jnp.asarray(cyt, f),
+          jnp.asarray(_dmat_np(deriv_np), f), dp0lane, bih_r)
     elif KERNEL_VERSION == 2:
         kernel = functools.partial(_euler_kernel2, nq, dt, rhs_viss,
                                    bih_mode, float(nu_coef), max_iter)

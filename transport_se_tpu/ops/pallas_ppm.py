@@ -40,6 +40,16 @@ N2 = 16
 #   rep  = replace level->tracer lane tiling with a lane-0 broadcast
 _ABLATE = set(filter(None, _os.environ.get("TSE_PPM_ABLATE", "").split(",")))
 
+# Gate the far cell-search shifts (+2, +3, -2 source cells) behind a
+# block-level branch: the vertical CFL of the remap interval keeps
+# interface displacements within one source cell almost everywhere
+# (DCMIP 1-1/1-2 at the reference's rsplit never trip the far window),
+# so the ~36 tracer-width VPU ops of those three shift terms are skipped
+# unless some lane in the block actually selects a far cell.  Exact: the
+# skipped terms are rep(mask)*g with an all-zero mask (sign-of-zero
+# differences only).  TSE_PPM_GATE=0 forces the unconditional loop.
+_GATE = _os.environ.get("TSE_PPM_GATE", "1") not in ("0", "", "off")
+
 
 def _cumsum_weights(nq: int, nk: int):
     """Per-128-lane-chunk MXU weights for the tracer-width exclusive
@@ -135,19 +145,22 @@ def _kernel(nq, nk, alg, csteps, mxu,
         return out
 
     def mk_shifts(ki):
-        edge_top = (ki >= kf - 1).astype(f)
-        edge_bot = (ki < 1).astype(f)
+        # where-form clamped shifts: 1 select + 1 roll per application
+        # (vs the 2-FMA arithmetic blend) — value-identical, the edge
+        # predicates are exact
+        top_b = ki >= kf - 1
+        bot_b = ki < 1
 
         def s1L(x):
-            return edge_top * x + (1.0 - edge_top) * _rollL(x, 1)
+            return jnp.where(top_b, x, _rollL(x, 1))
 
         def s1R(x):
-            return edge_bot * x + (1.0 - edge_bot) * _rollR(x, 1)
+            return jnp.where(bot_b, x, _rollR(x, 1))
 
-        return s1L, s1R
+        return s1L, s1R, top_b, bot_b
 
-    s1L, s1R = mk_shifts(kidx)           # level width
-    s1Lq, s1Rq = mk_shifts(kidx_q)       # tracer width
+    s1L, s1R, _, _ = mk_shifts(kidx)               # level width
+    s1Lq, s1Rq, top_bq, bot_bq = mk_shifts(kidx_q)  # tracer width
 
     # ---- interfaces (level width) ----------------------------------------
     pio_r = cumsum_k(d, masks_k)         # pio[k+1]
@@ -221,17 +234,16 @@ def _kernel(nq, nk, alg, csteps, mxu,
                       2.0 * jnp.abs(ap1 - a)) * jnp.sign(da)
     dma = jnp.where((ap1 - a) * (a - am1) <= 0.0, 0.0, dma)
 
-    lastq = rep(last)
-    first = (kidx_q < 1).astype(f)
     sixth = jnp.asarray(1.0 / 6.0, f)
     if "coef" in _ABLATE:
         ai_r = a
         ai_l = a
     else:
-        dma_jp1 = s1Lq(dma) * (1.0 - lastq)  # ghost dma above the top is 0
+        # ghost dma above the top is 0 (top_bq lanes = rep(last) lanes)
+        dma_jp1 = jnp.where(top_bq, 0.0, _rollL(dma, 1))
         ai_r = a + rep(c4 + c678) * (ap1 - a) \
             - rep(c5 * c9) * dma_jp1 + rep(c5 * c10) * dma
-        ai_l = first * (a - sixth * dma) + (1.0 - first) * s1Rq(ai_r)
+        ai_l = jnp.where(bot_bq, a - sixth * dma, _rollR(ai_r, 1))
 
     # stage 3: limited parabola
     al = ai_l
@@ -301,12 +313,7 @@ def _kernel(nq, nk, alg, csteps, mxu,
     Y2 = (z2 * z2 * z2 - x1 * x1 * x1) * (dpo_kk / 3.0)
     Y0q, Y1q, Y2q = rep(Y0), rep(Y1), rep(Y2)
 
-    shifts = ((m_0, 0), (m_1, 1), (m_2, 2), (m_3, 3),
-              (m_m1, -1), (m_m2, -2))
-    if "sel" in _ABLATE:
-        shifts = ((m_0, 0),)
-    massn = None
-    for mk, d in shifts:
+    def shift_term(mk, d):
         if d == 0:
             y0, y1, y2 = Y0q, Y1q, Y2q
         elif d > 0:
@@ -316,10 +323,23 @@ def _kernel(nq, nk, alg, csteps, mxu,
                           _rollL(Y2q, -d))
         g = masso + coef0 * y0 + coef1 * y1 + coef2 * y2
         gd = g if d == 0 else (_rollL(g, d) if d > 0 else _rollR(g, -d))
-        t_ = rep(mk) * gd
-        massn = t_ if massn is None else massn + t_
+        return rep(mk) * gd
+
+    if "sel" in _ABLATE:
+        massn = shift_term(m_0, 0)
+    else:
+        massn = (shift_term(m_0, 0) + shift_term(m_1, 1)
+                 + shift_term(m_m1, -1))
+        far = lambda mn: ((mn + shift_term(m_2, 2)) + shift_term(m_3, 3)) \
+            + shift_term(m_m2, -2)
+        if _GATE:
+            # f2 covers m_2+m_3; fd2 is m_m2 (see the _GATE comment)
+            need_far = jnp.max(f2 + fd2) > 0.0
+            massn = jax.lax.cond(need_far, far, lambda mn: mn, massn)
+        else:
+            massn = far(massn)
     # qdp_out[k] = massn[k] - massn[k-1] (massn[-1] = 0)
-    prev = s1Rq(massn) * (1.0 - first)
+    prev = jnp.where(bot_bq, 0.0, _rollR(massn, 1))
     out_ref[...] = massn - prev
 
 
