@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_euler import (_ddy_mask_mat, _dmat_np, _lap_wk,
-                           _roll_coeffs)
+                           _roll_coeffs, _smet)
 
 __all__ = ["dss_band_pallas"]
 
@@ -96,10 +96,10 @@ def _band_kernel(by, ne, nlev, with_scale, with_minmax, with_lap,
             # same LAP_FORM-dispatched weak Laplacian as the single-chip
             # face kernel (pallas_euler._lap_wk) — keeps the two
             # assemblies' epilogues structurally identical
-            met = met_ref[...]                  # [by, ne, 5, 16]
+            met = met_ref[...]                  # [by, ne, 3, 16] _smet
             msel = lambda i: jnp.swapaxes(met[:, :, i:i + 1, :], -1, -2)
-            lap_ref[...] = _lap_wk(q, msel(0), msel(1), msel(2), msel(3),
-                                   msel(4), cx_ref[:], cy_ref[:],
+            lap_ref[...] = _lap_wk(q, msel(0), msel(1), msel(2),
+                                   cx_ref[:], cy_ref[:],
                                    cxt_ref[:], cyt_ref[:], mask_ref[:],
                                    dm_ref[:])
 
@@ -259,10 +259,16 @@ def dss_band_pallas(x, ext, t, rsp_band=None, dp=None, nq=None,
     bcoef = pl.BlockSpec((nn, 4), lambda r, b: (0, 0),
                          memory_space=pltpu.VMEM)
     if with_lap:
-        metb = met_band.astype(f)
+        # fold the 5-channel band metric table (Dinv00/01/10/11, spheremp)
+        # to the 3-channel _smet form the kernel consumes (elementwise on
+        # a small static table — constant across steps under jit)
+        mb = met_band
+        s00, s01, s11 = _smet(mb[:, :, 0], mb[:, :, 1], mb[:, :, 2],
+                              mb[:, :, 3], mb[:, :, 4])
+        metb = jnp.stack([s00, s01, s11], axis=2).astype(f)
         if nrp != nr:
             metb = jnp.pad(metb, ((0, nrp - nr),) + ((0, 0),) * 3)
-        bmet = pl.BlockSpec((by, ne, 5, nn), lambda r, b: (r, 0, 0, 0),
+        bmet = pl.BlockSpec((by, ne, 3, nn), lambda r, b: (r, 0, 0, 0),
                             memory_space=pltpu.VMEM)
         deriv_np = np.asarray(deriv)
         cx, cy = _roll_coeffs(deriv_np, transpose=False)

@@ -33,8 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
 
-from .pallas_euler import (_ddx_rolls, _ddy_mask_mat, _ddy_rolls,
-                           _dmat_np, _lap_wk, _roll_coeffs)
+from .pallas_euler import (_ddy_mask_mat, _dmat_np, _lap_wk, _roll_coeffs,
+                           _smet)
 
 # lane-chunk width of the face-DSS grid (bigger chunks = fewer ghost-strip
 # re-DMAs per row block, larger row blocks via _pick_by's byte cap).
@@ -197,12 +197,12 @@ def _dss_face_kernel(by, ne, nlev, with_scale, with_minmax, with_lap,
             # (_roll16_m) was measured WORSE (17.8 ms) — long sublane
             # rolls cost more than the narrow per-element 16-rolls.
             # LAP_FORM picks rolls vs broadcast FMAs (pallas_euler._lap_wk).
-            met = met_ref[0]                       # [by, ne, 5, 16]
+            met = met_ref[0]                       # [by, ne, 3, 16] _smet
             # slice-then-swap (int+None fancy indexing lowers to an
             # unsupported >2D gather in Mosaic)
             msel = lambda i: jnp.swapaxes(met[:, :, i:i + 1, :], -1, -2)
-            lap_ref[0] = _lap_wk(q, msel(0), msel(1), msel(2), msel(3),
-                                 msel(4), cx_ref[:], cy_ref[:],
+            lap_ref[0] = _lap_wk(q, msel(0), msel(1), msel(2),
+                                 cx_ref[:], cy_ref[:],
                                  cxt_ref[:], cyt_ref[:], mask_ref[:],
                                  dm_ref[:])
 
@@ -312,12 +312,13 @@ def dss_face_pallas(x_t, ft, rsp=None, dp=None, nlev=None, interpret=None,
                          memory_space=pltpu.VMEM)
     if with_lap:
         Dinv = lap_arrays["Dinv"]
+        s00, s01, s11 = _smet(Dinv[..., 0, 0], Dinv[..., 0, 1],
+                              Dinv[..., 1, 0], Dinv[..., 1, 1],
+                              lap_arrays["spheremp"])
         met5 = jnp.stack(
-            [Dinv[..., 0, 0].reshape(E, 16), Dinv[..., 0, 1].reshape(E, 16),
-             Dinv[..., 1, 0].reshape(E, 16), Dinv[..., 1, 1].reshape(E, 16),
-             lap_arrays["spheremp"].reshape(E, 16)],
-            axis=1).astype(f).reshape(6, ne, ne, 5, nn)
-        bmet = pl.BlockSpec((1, by, ne, 5, nn),
+            [s00.reshape(E, 16), s01.reshape(E, 16), s11.reshape(E, 16)],
+            axis=1).astype(f).reshape(6, ne, ne, 3, nn)
+        bmet = pl.BlockSpec((1, by, ne, 3, nn),
                             lambda face, r, b: (face, r, 0, 0, 0),
                             memory_space=pltpu.VMEM)
         deriv_np = np.asarray(lap_arrays["deriv"])

@@ -286,16 +286,37 @@ def _dmat_np(deriv_np):
     return np.concatenate([deriv_np, deriv_np.T, np.zeros((8, 4))])
 
 
-def _lap_wk(q, d00, d01, d10, d11, spm, cx, cy, cxt, cyt, masks, dmat):
+def _smet(d00, d01, d10, d11, spm):
+    """Symmetric folded lap metric S = spm * Dinv Dinv^T: (S00, S01, S11).
+
+    Host-side companion of _lap_wk — fold the two metric applications of
+    laplace_sphere_wk (w = spm * Dinv (Dinv^T v)) into one static
+    3-coefficient table so the kernels' full-width metric stage is 6 FMAs
+    instead of ~13 (same math, reassociated at roundoff level — the
+    XLA-path parity tests carry the tolerance).  Computing S *in-kernel*
+    from d00..d11 was measured WORSE (16.4 vs 13.9 ms at NE30 — the
+    [.., 16, 1] narrow ops are not free); precompute host-side.
+    """
+    return ((d00 * d00 + d01 * d01) * spm,
+            (d00 * d10 + d01 * d11) * spm,
+            (d10 * d10 + d11 * d11) * spm)
+
+
+def _lap_wk(q, s00, s01, s11, cx, cy, cxt, cyt, masks, dmat):
     """laplace_sphere_wk on a kernel block q [..., 16, L].
 
     The weak Laplacian shared by the DSS lap1 epilogue
     (viscosity_mod.F90:289-351 first half), the euler kernel's in-kernel
-    lap2 (back half), and laplace_wk_t.  Metric factors d00..d11/spm must
-    broadcast against q ([..., 16, 1]).  Derivative applications follow
-    LAP_FORM: rolls (cx/cy/cxt/cyt [16,4] roll coefficients) or
-    sublane-group broadcasts (dmat [16,4]: rows 0-3 D, 4-7 D^T).  The two
-    forms differ by summation association only (roundoff-level).
+    lap2 (back half), and laplace_wk_t.  s00/s01/s11 are the _smet folded
+    metric, broadcastable against q ([..., 16, 1]).  Derivative
+    applications follow LAP_FORM: rolls (cx/cy/cxt/cyt [16,4] roll
+    coefficients) or sublane-group broadcasts (dmat [16,4]: rows 0-3 D,
+    4-7 D^T).  The two forms differ by summation association only
+    (roundoff-level).
+
+    r5 hardware A/B (NE30 dss_scale_minmax_t+lap, fenced): roll 13.9 ms
+    vs bcast 29.3 ms — the (.., 4, 4, L) views relayout in Mosaic exactly
+    as the v2 kernel comment warned; roll stays the default.
     """
     f = q.dtype
     if LAP_FORM == "bcast":
@@ -306,22 +327,17 @@ def _lap_wk(q, d00, d01, d10, d11, spm, cx, cy, cxt, cyt, masks, dmat):
             .reshape(-1, N2, 1)
         d = dmat[0:4]
         dT = dmat[4:8]
-        e00, e01, e10, e11, esp = (r3(d00), r3(d01), r3(d10), r3(d11),
-                                   r3(spm))
+        e00, e01, e11 = r3(s00), r3(s01), r3(s11)
         v1 = _ddx_bcast(q3, d)
         v2 = _ddy_bcast(q3, d)
-        g1 = e00 * v1 + e10 * v2
-        g2 = e01 * v1 + e11 * v2
-        w1 = (e00 * g1 + e01 * g2) * esp
-        w2 = (e10 * g1 + e11 * g2) * esp
+        w1 = e00 * v1 + e01 * v2
+        w2 = e01 * v1 + e11 * v2
         t2 = _ddxy_bcast(w1, w2, dT)
         return (-jnp.asarray(RREARTH * RREARTH, f) * t2).reshape(sh)
     v1 = _ddx_rolls(q, cx)
     v2 = _ddy_rolls(q, cy, masks)
-    g1 = d00 * v1 + d10 * v2
-    g2 = d01 * v1 + d11 * v2
-    w1 = (d00 * g1 + d01 * g2) * spm
-    w2 = (d10 * g1 + d11 * g2) * spm
+    w1 = s00 * v1 + s01 * v2
+    w2 = s01 * v1 + s11 * v2
     t2 = _ddx_rolls(w1, cxt) + _ddy_rolls(w2, cyt, masks)
     return -jnp.asarray(RREARTH * RREARTH, f) * t2
 
@@ -634,7 +650,7 @@ def _euler_kernel3(nq, dt, rhs_viss, bih_mode, nu_coef, prec, max_iter,
         # second weak Laplacian of the DSS'd first Laplacian
         # (viscosity_mod.F90:289-351 back half) on the VPU — see the
         # kernel docstring for why not MXU
-        lap2 = _lap_wk(bih_ref[...], d00, d01, d10, d11, spheremp,
+        lap2 = _lap_wk(bih_ref[...], sw(7), sw(8), sw(9),
                        cx_ref[:], cy_ref[:], cxt_ref[:], cyt_ref[:],
                        mask_ref[:], dm_ref[:])
         dp0lane = dp0_ref[:]
@@ -724,8 +740,8 @@ def _euler_kernel3(nq, dt, rhs_viss, bih_mode, nu_coef, prec, max_iter,
             + (one - validf) * (qtens[..., sl] * spheremp)
 
 
-def _laplace_kernel(eb, s_ref, d00_ref, d01_ref, d10_ref, d11_ref,
-                    spheremp_ref, cx_ref, cy_ref, cxt_ref, cyt_ref,
+def _laplace_kernel(eb, s_ref, s00_ref, s01_ref, s11_ref,
+                    cx_ref, cy_ref, cxt_ref, cyt_ref,
                     mask_ref, dm_ref, out_ref):
     """Weak Laplacian in the [eb, 16, qk] T layout: one VMEM round trip.
 
@@ -736,15 +752,9 @@ def _laplace_kernel(eb, s_ref, d00_ref, d01_ref, d10_ref, d11_ref,
       c1 = Dinv00 g1 + Dinv01 g2; c2 = Dinv10 g1 + Dinv11 g2   (contra)
       out = -rrearth^2 (ddx^T (sp c1) + ddy^T (sp c2))
     """
-    f = s_ref.dtype
     s = s_ref[...]                     # [eb, 16, qk]
     sw = lambda r: jnp.swapaxes(r[...], -1, -2)   # [eb, 16, 1]
-    d00 = sw(d00_ref)
-    d01 = sw(d01_ref)
-    d10 = sw(d10_ref)
-    d11 = sw(d11_ref)
-    spheremp = sw(spheremp_ref)
-    out_ref[...] = _lap_wk(s, d00, d01, d10, d11, spheremp,
+    out_ref[...] = _lap_wk(s, sw(s00_ref), sw(s01_ref), sw(s11_ref),
                            cx_ref[:], cy_ref[:], cxt_ref[:], cyt_ref[:],
                            mask_ref[:], dm_ref[:])
 
@@ -761,6 +771,9 @@ def laplace_wk_t(s_t, model_arrays, interpret=None, eb=4):
     cx, cy = _roll_coeffs(deriv, transpose=False)
     cxt, cyt = _roll_coeffs(deriv, transpose=True)
     Dinv = model_arrays["Dinv"]
+    s00, s01, s11 = _smet(Dinv[..., 0, 0], Dinv[..., 0, 1],
+                          Dinv[..., 1, 0], Dinv[..., 1, 1],
+                          model_arrays["spheremp"])
     flat = lambda a: a.reshape(E, 1, N2)
     be = lambda s2: pl.BlockSpec((eb, N2, s2), lambda e: (e, 0, 0),
                                  memory_space=pltpu.VMEM)
@@ -771,15 +784,13 @@ def laplace_wk_t(s_t, model_arrays, interpret=None, eb=4):
     return pl.pallas_call(
         functools.partial(_laplace_kernel, eb),
         grid=(E // eb,),
-        in_specs=[be(B), bmet, bmet, bmet, bmet, bmet,
+        in_specs=[be(B), bmet, bmet, bmet,
                   bcoef(4), bcoef(4), bcoef(4), bcoef(4), bcoef(4),
                   bcoef(4)],
         out_specs=be(B),
         out_shape=jax.ShapeDtypeStruct((E, N2, B), f),
         interpret=interpret,
-    )(s_t, flat(Dinv[..., 0, 0]), flat(Dinv[..., 0, 1]),
-      flat(Dinv[..., 1, 0]), flat(Dinv[..., 1, 1]),
-      flat(model_arrays["spheremp"]),
+    )(s_t, flat(s00), flat(s01), flat(s11),
       jnp.asarray(cx, f), jnp.asarray(cy, f),
       jnp.asarray(cxt, f), jnp.asarray(cyt, f),
       jnp.asarray(_ddy_mask_mat(), f), jnp.asarray(_dmat_np(deriv), f))
@@ -845,11 +856,15 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
 
     Dinv = model_arrays["Dinv"]        # [E, 4, 4, 2, 2]
     flat = lambda a: a.reshape(E, 1, N2)
+    s00, s01, s11 = _smet(Dinv[..., 0, 0], Dinv[..., 0, 1],
+                          Dinv[..., 1, 0], Dinv[..., 1, 1],
+                          model_arrays["spheremp"])
     met_pack = jnp.concatenate(
         [flat(Dinv[..., 0, 0]), flat(Dinv[..., 0, 1]),
          flat(Dinv[..., 1, 0]), flat(Dinv[..., 1, 1]),
          flat(model_arrays["metdet"]), flat(model_arrays["rmetdet"]),
-         flat(model_arrays["spheremp"])], axis=1)       # [E, 7, 16]
+         flat(model_arrays["spheremp"]),
+         flat(s00), flat(s01), flat(s11)], axis=1)      # [E, 10, 16]
 
     # operand layout: point axis in sublanes, (q*k) in lanes — keeps the
     # minor HBM dim a near-multiple of 128 (a [.., qk, 16] layout would be
@@ -899,7 +914,7 @@ def fused_advect_limit(Qdp, vn0, dp, divdp, qmin, qmax, model_arrays,
                                  memory_space=pltpu.VMEM)
     brow = pl.BlockSpec((eb, qk), lambda e: (e, 0),
                         memory_space=pltpu.VMEM)
-    bmet = pl.BlockSpec((eb, 7, N2), lambda e: (e, 0, 0),
+    bmet = pl.BlockSpec((eb, 10, N2), lambda e: (e, 0, 0),
                         memory_space=pltpu.VMEM)
     bcoef = lambda w: pl.BlockSpec((N2, w), lambda e: (0, 0),
                                    memory_space=pltpu.VMEM)
