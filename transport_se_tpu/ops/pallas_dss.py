@@ -57,6 +57,10 @@ DSS_BLOCK_CAP = int(_os.environ.get("TSE_DSS_BLOCK_CAP", "0"))
 # half) instead of full-block concat trees — fewer whole-block VMEM
 # copies (A/B'd on hardware; 0 = concat form)
 DSS_STORE = _os.environ.get("TSE_DSS_STORE", "1") not in ("0", "", "off")
+# neighbor-minmax lane width (0 = DSS_BC or the 512 default — this
+# kernel is launch/strip-bound, wider lanes win; the field DSS kernels
+# keep 128, see DSS_BC note)
+NBR_BC = int(_os.environ.get("TSE_NBR_BC", "0"))
 
 
 def _pick_by(ne: int, bc: int, heavy: bool = True) -> int:
@@ -435,7 +439,7 @@ def minmax_prep_pallas(x_t, dp, nq, interpret=None):
 # neighbor min/max: per-element 9-point (self + 8 neighbors) reduce
 # ---------------------------------------------------------------------------
 
-def _nbr_minmax_kernel(by, ne,
+def _nbr_minmax_kernel(by, ne, nr1,
                        mn_ref, mx_ref, mnu_ref, mxu_ref, mnd_ref, mxd_ref,
                        smn_px_ref, smn_mx_ref, smn_py_ref, smn_my_ref,
                        smx_px_ref, smx_mx_ref, smx_py_ref, smx_my_ref,
@@ -450,41 +454,51 @@ def _nbr_minmax_kernel(by, ne,
     edges they are replaced by the seam strips (ey-padded [ne+2, bc], pad
     rows = +-inf so the cube-vertex missing diagonal drops out).  Strips
     along ex (py/my sides) ride inside the block's shifted rows.
+
+    nr1 (static): the row grid is one whole-face block — strip offsets
+    become static so Mosaic's dynamic-slice prover accepts any lane
+    width (wide-bc blocks fail its multiple-of-8 proof otherwise).
     """
     f = mn_ref.dtype
     r = pl.program_id(1)
     nr = pl.num_programs(1)
-    row0 = r * by
+    row0 = 0 if nr1 else r * by
+    rds = (lambda o: slice(o, o + by)) if nr1 else \
+        (lambda o: pl.ds(o, by))
     pinf = jnp.asarray(jnp.inf, f)
 
     def reduce_one(q_ref, up_ref, dn_ref, spx_ref, smx_ref, spy_ref,
                    smy_ref, op, pad):
         q = q_ref[0]                         # [by, ne, bc]
         # x-shifts within rows; the open column comes from the ex strips
-        spx = spx_ref[0, pl.ds(row0 + 1, by)][:, None]   # [by, 1, bc]
-        smx = smx_ref[0, pl.ds(row0 + 1, by)][:, None]
+        spx = spx_ref[0, rds(row0 + 1)][:, None]   # [by, 1, bc]
+        smx = smx_ref[0, rds(row0 + 1)][:, None]
         xp = jnp.concatenate([q[:, 1:], spx], axis=1)
         xm = jnp.concatenate([smx, q[:, :-1]], axis=1)
         # rows above/below the block (clamped at face edges -> strips)
-        is_top = r == nr - 1
-        is_bot = r == 0
-        up = jnp.where(is_top, spy_ref[0, 1:ne + 1], up_ref[0, 0])
-        dn = jnp.where(is_bot, smy_ref[0, 1:ne + 1], dn_ref[0, 0])
+        if nr1:
+            up = spy_ref[0, 1:ne + 1]
+            dn = smy_ref[0, 1:ne + 1]
+        else:
+            is_top = r == nr - 1
+            is_bot = r == 0
+            up = jnp.where(is_top, spy_ref[0, 1:ne + 1], up_ref[0, 0])
+            dn = jnp.where(is_bot, smy_ref[0, 1:ne + 1], dn_ref[0, 0])
         rows_above = jnp.concatenate([q[1:], up[None]], axis=0)
         rows_below = jnp.concatenate([dn[None], q[:-1]], axis=0)
         # diagonals: x-shift the above/below rows; their open column is
         # the +-1-ey-shifted ex strip (pad at cube vertices)
         d_pp = jnp.concatenate(
-            [rows_above[:, 1:], spx_ref[0, pl.ds(row0 + 2, by)][:, None]],
+            [rows_above[:, 1:], spx_ref[0, rds(row0 + 2)][:, None]],
             axis=1)
         d_mp = jnp.concatenate(
-            [smx_ref[0, pl.ds(row0 + 2, by)][:, None], rows_above[:, :-1]],
+            [smx_ref[0, rds(row0 + 2)][:, None], rows_above[:, :-1]],
             axis=1)
         d_pm = jnp.concatenate(
-            [rows_below[:, 1:], spx_ref[0, pl.ds(row0, by)][:, None]],
+            [rows_below[:, 1:], spx_ref[0, rds(row0)][:, None]],
             axis=1)
         d_mm = jnp.concatenate(
-            [smx_ref[0, pl.ds(row0, by)][:, None], rows_below[:, :-1]],
+            [smx_ref[0, rds(row0)][:, None], rows_below[:, :-1]],
             axis=1)
         res = op(op(op(q, xp), op(xm, rows_above)),
                  op(op(rows_below, d_pp), op(op(d_mp, d_pm), d_mm)))
@@ -517,16 +531,20 @@ def neighbor_minmax_pallas(qmin, qmax, ft, interpret=None):
                        constant_values=np.inf)
         qmax = jnp.pad(qmax, ((0, 0), (0, Bp - B)),
                        constant_values=-np.inf)
-    want = DSS_BC or 128
+    want = NBR_BC or DSS_BC or 128
     bc = want if Bp % want == 0 else (128 if Bp % 128 == 0 else Bp)
     while Bp % bc:
         bc = Bp
     # block-height cap WITHOUT _pick_by's 16-point factor: these blocks
     # are [by, ne, bc] per-element scalars, 16x smaller than field
     # blocks, and the kernel was launch-bound at the field-sized cap
-    # (measured 4.0 ms vs a ~0.3 ms floor at NE30; whole-face rows fix it)
-    cap = max(1, 2_000_000 // (ne * bc * 4))
+    # (measured 4.0 ms vs a ~0.3 ms floor at NE30; whole-face rows fix it).
+    # r5: whole-face blocks get static strip offsets (nr1) so wide lanes
+    # compile (bc=512 was measured a wash, 3.6 vs 3.5 ms net — the cost
+    # is the ~16 shifted-copy materializations, not launches; 128 stays)
+    cap = max(1, (DSS_BLOCK_CAP or 4_000_000) // (ne * bc * 4))
     by = max(d for d in range(1, ne + 1) if ne % d == 0 and d <= cap)
+    nr1 = by == ne
 
     def strips(q, src, pad):
         g = q[src]                            # [6, ne, Bp]
@@ -558,13 +576,15 @@ def neighbor_minmax_pallas(qmin, qmax, ft, interpret=None):
                           lambda face, r, b: (face, 0, b),
                           memory_space=pltpu.VMEM)
     gmin, gmax = pl.pallas_call(
-        functools.partial(_nbr_minmax_kernel, by, ne),
+        functools.partial(_nbr_minmax_kernel, by, ne, nr1),
         grid=(6, nr, nb),
         in_specs=[bmain, bmain, brow_up, brow_up, brow_dn, brow_dn]
                  + [bstrip] * 8,
         out_specs=(bmain, bmain),
         out_shape=(jax.ShapeDtypeStruct(q6n.shape, f),
                    jax.ShapeDtypeStruct(q6n.shape, f)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(q6n, q6x, q6n, q6x, q6n, q6x, *smn, *smx)
     return (gmin.reshape(E, Bp)[:, :B], gmax.reshape(E, Bp)[:, :B])

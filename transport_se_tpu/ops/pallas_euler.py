@@ -678,7 +678,11 @@ def _euler_kernel3(nq, dt, rhs_viss, bih_mode, nu_coef, prec, max_iter,
         maxp = maxp_all[..., sl]
         sumc = sumc_all[..., sl]
 
-        mass = jnp.sum(c_g * x, axis=-2, keepdims=True)
+        # pairwise-tree sublane sums (_sum16) throughout the limiter: the
+        # generic cross-sublane reduce lowers ~5x worse in Mosaic (the v2
+        # kernel's discovery, finally adopted in v3 — r5).  Exact zeros
+        # stay exact, so the convergence/fixed-point arguments hold.
+        mass = _sum16(c_g * x)
         validf = (sumc > 0).astype(f)
         safe_sumc = jnp.where(sumc > 0, sumc, one)
         minp = jnp.where(mass < minp * safe_sumc, mass / safe_sumc, minp)
@@ -695,13 +699,13 @@ def _euler_kernel3(nq, dt, rhs_viss, bih_mode, nu_coef, prec, max_iter,
             it, x, _ = state
             xcl = jnp.clip(x, minp, maxp)
             resid = x - xcl
-            addmass = jnp.sum(resid * c_g, axis=-2, keepdims=True)
+            addmass = _sum16(resid * c_g)
             conv = jnp.abs(addmass) <= tol
             pos = addmass > 0
             free = jnp.where(pos, (xcl < maxp).astype(f),
                              (xcl > minp).astype(f))
             fc = free * c_g
-            wsum = jnp.sum(fc, axis=-2, keepdims=True)
+            wsum = _sum16(fc)
             add = jnp.where(wsum > 0,
                             addmass / jnp.where(wsum > 0, wsum, one), 0.0)
             x_next = xcl + free * jnp.where(conv, 0.0, add)

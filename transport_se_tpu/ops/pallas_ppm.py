@@ -131,9 +131,12 @@ def _kernel(nq, nk, alg, csteps, mxu,
     if "rep" in _ABLATE and nq > 1:
         rep = lambda a: jnp.broadcast_to(a[..., :1],
                                          a.shape[:-1] + (nq * nk,))
+    elif nq == 1:
+        rep = lambda a: a
+    elif _os.environ.get("TSE_PPM_REP", "repeat") == "concat":
+        rep = lambda a: jnp.concatenate([a] * nq, axis=a.ndim - 1)
     else:
-        rep = (lambda a: a) if nq == 1 else \
-            (lambda a: pltpu.repeat(a, nq, axis=a.ndim - 1))
+        rep = lambda a: pltpu.repeat(a, nq, axis=a.ndim - 1)
 
     def cumsum_k(x, mrows):
         out = x
