@@ -124,7 +124,7 @@ def run_phase(cfg_kwargs, tag, tol, accounting_only=False):
     return out
 
 
-def run_phase1_chunked(rsplit, qchunk, out_path, tol=1e-5):
+def run_phase1_chunked(rsplit, qchunk, out_path, tol=1e-5, max_chunks=0):
     """Full-size phase 1 with the 35 tracers advected in sequential
     q-chunks (separate XLA executions sharing one compiled program).
 
@@ -174,6 +174,13 @@ def run_phase1_chunked(rsplit, qchunk, out_path, tol=1e-5):
           flush=True)
     sp = m.spheremp[jnp.asarray(runner.plan.perm)]
     nchunks = -(-QTOT // qchunk)
+    if max_chunks:
+        # chunks are bit-identical repeats of the [checkerboard, layer,
+        # checkerboard] stack (see the coverage note above), so a
+        # truncated run still exercises every distinct field at the full
+        # shapes — used for the rsplit=3 production-schedule interval,
+        # whose 12-chunk run would take ~6 h of single-core CPU
+        nchunks = min(nchunks, max_chunks)
     init_fn = jax.jit(lambda: initial_qdp(m))
     chunks = []
     twall = 0.0
@@ -206,7 +213,8 @@ def run_phase1_chunked(rsplit, qchunk, out_path, tol=1e-5):
     out = dict(tag=tag, E=m.grid.nelem, shards=int(mesh.devices.size),
                eloc=runner.plan.eloc, nrounds=int(runner.plan.nrounds),
                nhalo=int(runner.plan.nhalo), qsize_total=QTOT,
-               qchunk=qchunk, tracer_intervals=nchunks * qchunk,
+               qchunk=qchunk, chunks_run=nchunks,
+               tracer_intervals=nchunks * qchunk,
                nlev=cfg.nlev, rsplit=rsplit,
                wall_total_s=round(twall, 1),
                wall_per_35_tracers_s=round(twall * QTOT
@@ -241,6 +249,10 @@ def main():
                         "this size (0 = one 35-wide execution; chunking "
                         "caps host intermediate memory under the "
                         "time-sliced CPU mesh — see run_phase1_chunked)")
+    p.add_argument("--p1-chunks", type=int, default=0,
+                   help="run only the first N tracer chunks (0 = all; "
+                        "chunks are bit-identical repeats — see "
+                        "run_phase1_chunked)")
     p.add_argument("--p1-rsplit", type=int, default=3,
                    help="rsplit for phase 1 (default 3 = the production "
                         "remap interval of 3 tracer steps; 1 runs a "
@@ -270,7 +282,8 @@ def main():
         # config's exact shapes), XLA pipeline
         if args.p1_qchunk and not args.accounting_only:
             results.append(run_phase1_chunked(
-                args.p1_rsplit, args.p1_qchunk, args.out))
+                args.p1_rsplit, args.p1_qchunk, args.out,
+                max_chunks=args.p1_chunks))
             # the chunked run wrote its per-chunk records (the
             # crash-resilience deliverable) to args.out — preserve them
             # in the final merged dump instead of overwriting

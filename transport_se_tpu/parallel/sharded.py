@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..model.core import Model, make_subcycle_fn
+from ..model.core import Model, _tp, _tp_back, make_subcycle_fn
 from .halo import ShardPlan, ShardedDssTables, build_shard_plan
 
 AXIS = "e"
@@ -47,13 +47,37 @@ class ShardedRunner:
     step: object          # fn(Qdp, nstep) -> (Qdp, ps_v, nstep, min_dp)
     qdp_sharding: object
     inv_perm: np.ndarray
+    shard_fn: object = None
+    io_layout: str = "std"
 
     def shard_qdp(self, Qdp):
+        """Std-layout model-order Qdp [E, q, k, 4, 4] -> the sharded
+        step's input state.
+
+        For the Pallas pipeline the sharded state lives in the T layout
+        [E, 16, q*k] end to end (io_layout='t'), exactly like the
+        single-chip perf path: a std-layout [.., 4, 4]-minor array at a
+        jit boundary forces TPU tile padding on the (4, 4) dims — a 32x
+        HBM blowup (27.9 GB at NE30/35tr, found the first time
+        scripts/bench_sharded_chip.py ran on real hardware).  The
+        permutation and relayout run inside one jit with sharded output
+        so no padded intermediate ever materializes.
+        """
+        if self.shard_fn is not None:
+            return self.shard_fn(Qdp)
         return jax.device_put(Qdp[jnp.asarray(self.plan.perm)],
                               self.qdp_sharding)
 
     def to_model_order(self, x):
-        return np.asarray(x)[self.inv_perm]
+        """Undo the shard permutation (and the T relayout for Qdp-shaped
+        io_layout='t' arrays) on an element-indexed result."""
+        x = np.asarray(x)
+        cfg = self.model.cfg
+        if (self.io_layout == "t" and x.ndim == 3 and x.shape[1] == 16
+                and x.shape[2] >= cfg.qsize * cfg.nlev):
+            x = np.moveaxis(x[:, :, :cfg.qsize * cfg.nlev], 1, -1) \
+                .reshape(x.shape[0], cfg.qsize, cfg.nlev, 4, 4)
+        return x[self.inv_perm]
 
 
 def make_sharded_subcycle(m: Model, mesh: Mesh,
@@ -74,6 +98,11 @@ def make_sharded_subcycle(m: Model, mesh: Mesh,
         overlap = (m.cfg.use_pallas and m.cfg.limiter_option == 8
                    and not diagnostics)
     overlap_face = bool(overlap and use_face)
+    # the Pallas pipeline's sharded state stays in the T layout end to
+    # end (see ShardedRunner.shard_qdp) — same condition that selects
+    # the T pipeline inside make_subcycle_fn
+    io_layout = ("t" if (m.cfg.use_pallas and m.cfg.limiter_option == 8
+                         and not diagnostics) else "std")
     plan = build_shard_plan(m.grid, S, overlap=overlap and not use_face)
     if overlap_face and overlap_auto:
         # the duplicate boundary-group producer costs bgrp/eloc extra
@@ -133,7 +162,8 @@ def make_sharded_subcycle(m: Model, mesh: Mesh,
                if not k.startswith("f_")})
         ml = dataclasses.replace(m, tables=tables,
                                  **{k: els[k] for k in el_keys})
-        step = make_subcycle_fn(ml, diagnostics=diagnostics)
+        step = make_subcycle_fn(ml, diagnostics=diagnostics,
+                                io_layout=io_layout)
         Qdp, ps_v, nstep, min_dp = step(Qdp, nstep)
         min_dp = jax.lax.pmin(min_dp, AXIS)
         return Qdp, ps_v, nstep, min_dp
@@ -154,5 +184,14 @@ def make_sharded_subcycle(m: Model, mesh: Mesh,
         return smapped(Qdp, nstep, table_arrays, elem_arrays)
 
     qdp_sharding = NamedSharding(mesh, P(AXIS))
+    permj = jnp.asarray(perm)
+    E = m.grid.nelem
+    qk = m.cfg.qsize * m.cfg.nlev
+    if io_layout == "t":
+        shard_fn = jax.jit(lambda x: _tp(x[permj], E, qk),
+                           out_shardings=qdp_sharding)
+    else:
+        shard_fn = jax.jit(lambda x: x[permj], out_shardings=qdp_sharding)
     return ShardedRunner(model=m, mesh=mesh, plan=plan, step=step,
-                         qdp_sharding=qdp_sharding, inv_perm=inv_perm)
+                         qdp_sharding=qdp_sharding, inv_perm=inv_perm,
+                         shard_fn=shard_fn, io_layout=io_layout)
