@@ -53,8 +53,9 @@ def run_single():
     step = jax.jit(make_subcycle_fn(m, diagnostics=False, io_layout="t"))
     Q = _tp(jax.jit(lambda: initial_qdp(m))(), E, qk)
     n = jnp.asarray(0, jnp.int32)
-    Qw, *_ = step(Q, n)
-    rtt = fence_rtt(Qw)
+    Q, ps, n, _ = step(Q, n)
+    Q, ps, n, _ = step(Q, n)      # chain warmup (see run_sharded)
+    rtt = fence_rtt(Q)
     t0 = time.perf_counter()
     for _i in range(REPS):
         Q, ps, n, _ = step(Q, n)
@@ -68,8 +69,12 @@ def run_sharded():
     assert runner.plan.nbound == 0          # raster kept
     Q = runner.shard_qdp(jax.jit(lambda: initial_qdp(m_f))())
     n = jnp.asarray(0, jnp.int32)
-    Qw, *_ = runner.step(Q, n)
-    rtt = fence_rtt(Qw)
+    # warm up THROUGH the chain: feeding step outputs back as inputs
+    # changes committed layouts and triggers one more compile (~100 s);
+    # the production chain pays it once, so absorb it before timing
+    Q, ps, n, _ = runner.step(Q, n)
+    Q, ps, n, _ = runner.step(Q, n)
+    rtt = fence_rtt(Q)
     t0 = time.perf_counter()
     for _i in range(REPS):
         Q, ps, n, _ = runner.step(Q, n)
@@ -77,8 +82,13 @@ def run_sharded():
     return (time.perf_counter() - t0 - rtt) / REPS
 
 
-t_single = run_single()
-t_sharded = run_sharded()
+ORDER = os.environ.get("BENCH_ORDER", "single_first")
+if ORDER == "sharded_first":
+    t_sharded = run_sharded()
+    t_single = run_single()
+else:
+    t_single = run_single()
+    t_sharded = run_sharded()
 over = (t_sharded / t_single - 1) * 100
 print(f"NE{NE} {QSIZE}tr f32, {REPS} subcycles/rep:")
 print(f"  single-chip program : {t_single*1e3:8.1f} ms/subcycle")
