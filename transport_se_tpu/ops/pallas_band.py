@@ -35,28 +35,69 @@ from .pallas_euler import (_ddy_mask_mat, _dmat_np, _lap_wk,
 __all__ = ["dss_band_pallas"]
 
 
-def _band_kernel(by, ne, nlev, with_scale, with_minmax, with_lap,
-                 x_ref, up_ref, dn_ref, gpx_ref, gmx_ref, dv_ref,
+def _band_kernel(by, ne, nlev, P, with_scale, with_minmax, with_lap,
+                 x_ref, xu_ref, xd_ref, gpx_ref, gmx_ref, dv_ref,
+                 ysu_ref, ysd_ref, pa_ref, pb_ref, ppos_ref,
                  rsp_ref, dp_ref, met_ref, cx_ref, cy_ref, cxt_ref,
-                 cyt_ref, mask_ref, dm_ref,
-                 out_ref, qmin_ref=None, qmax_ref=None, lap_ref=None):
+                 cyt_ref, mask_ref, dm_ref, *outs):
     """One band block: x [by, ne, 16, bc] whole element rows.
 
-    up/dn [by, ne, 4, bc] carry the +-y partner rows with face-transition
-    masking and seam patches already applied (XLA, O(boundary)); gpx/gmx
-    [by, 4, bc] the +-x seam columns; dv [by, ne, 4, bc] the corner
-    diagonal values in (mm, mp, pm, pp) order.  The per-slot sum order
-    reproduces parallel/face_sharded.py dss_sum_t_face_band BITWISE:
+    The +-y partner rows (up/dn) are derived IN KERNEL from the band
+    itself — in-block row shifts plus two clamped 1-row BlockSpecs on
+    the same array (the single-chip face kernel's pattern) — instead of
+    arriving as two XLA-materialized [nr, ne, 4, B] arrays (2 x 226 MB
+    of HBM write+read per DSS at NE30/35tr; the dominant sharded-vs-
+    single overhead found by scripts/bench_sharded_chip.py in r5).
+    Face-transition masking rides in as tiny per-row ysame columns
+    [nrp, 128]; the y-seam patch strips (O(P*ne) boundary rows) are
+    added through VMEM scratch under pl.when, so only the rare blocks
+    containing a patch row pay for it.  gpx/gmx [by, 4, bc] are the +-x
+    seam columns; dv [by, ne, 4, bc] the corner diagonal values in
+    (mm, mp, pm, pp) order.  The per-slot sum order reproduces
+    parallel/face_sharded.py dss_sum_t_face_band BITWISE:
     ((((x + t_px) + t_mx) + t_py) + t_my) + cor with the zero-placed adds
     dropped (x + 0.0 only flips the sign of a -0.0, and array-equality
     treats signed zeros as equal).
     """
+    out_ref = outs[0]
+    qmin_ref = outs[1] if with_minmax else None
+    qmax_ref = outs[2] if with_minmax else None
+    lap_ref = outs[3] if with_lap else None
+    up_scr, dn_scr = outs[-2], outs[-1]
     f = x_ref.dtype
     x = x_ref[...]                       # [by, ne, 16, bc]
     bc = x.shape[-1]
-    up = up_ref[...]
-    dn = dn_ref[...]
     dv = dv_ref[...]
+    r = pl.program_id(0)
+    row0 = r * by
+
+    # ---- +-y partner rows from the band (face-kernel pattern) ----
+    xv = x.reshape(by, ne, 4, 4, bc)
+    up_top = xu_ref[0].reshape(ne, 4, 4, bc)[:, :, 0, :]   # [ne, 4, bc]
+    dn_bot = xd_ref[0].reshape(ne, 4, 4, bc)[:, :, 3, :]
+    ra = jnp.concatenate([xv[1:, :, :, 0, :], up_top[None]], axis=0)
+    rb = jnp.concatenate([dn_bot[None], xv[:-1, :, :, 3, :]], axis=0)
+    ysu = ysu_ref[...][:, 0:1].reshape(by, 1, 1, 1)
+    ysd = ysd_ref[...][:, 0:1].reshape(by, 1, 1, 1)
+    up_scr[...] = jnp.where(ysu > 0.5, ra, jnp.zeros_like(ra))
+    dn_scr[...] = jnp.where(ysd > 0.5, rb, jnp.zeros_like(rb))
+    for p in range(P):
+        tu = ppos_ref[0, p]
+        td = ppos_ref[0, P + p]
+
+        @pl.when((tu >= row0) & (tu < row0 + by))
+        def _(p=p, tu=tu):
+            rowm = (jax.lax.broadcasted_iota(jnp.int32, (by, 1, 1, 1), 0)
+                    == tu - row0).astype(f)
+            up_scr[...] = up_scr[...] + rowm * pa_ref[p]
+
+        @pl.when((td >= row0) & (td < row0 + by))
+        def _(p=p, td=td):
+            rowm = (jax.lax.broadcasted_iota(jnp.int32, (by, 1, 1, 1), 0)
+                    == td - row0).astype(f)
+            dn_scr[...] = dn_scr[...] + rowm * pb_ref[p]
+    up = up_scr[...]
+    dn = dn_scr[...]
 
     S_px = jnp.concatenate([x[:, 1:, 0:4, :], gpx_ref[...][:, None]],
                            axis=1)      # [by, ne, 4, bc]
@@ -156,6 +197,58 @@ def _band_prep(x, ext, t):
     return b4, up, dn, gpx, gmx, dband.reshape(nr, ne, 4, B), pos0
 
 
+def _band_prep_lite(x, ext, t):
+    """O(boundary) prep for the in-kernel-up/dn band kernel: the band
+    itself, the +-x seam columns, the corner diagonals, and the y-seam
+    patch strips [P, ne, 4, B] + their band-row positions [1, 2P]
+    (above-patches first, then below)."""
+    ne, nr, eloc = t.ne, t.nr, t.eloc
+    B = x.shape[-1]
+    f = x.dtype
+    extf = ext.reshape(-1, B)
+
+    head = jnp.where(t.head_mask[:, None, None],
+                     ext[t.head_idx].astype(f), 0)
+    tail = jnp.where(t.tail_mask[:, None, None],
+                     ext[t.tail_idx].astype(f), 0)
+    bandfull = jnp.concatenate([head, x, tail], axis=0)
+    if t.band_o_static is not None:
+        # uniform row alignment: static slices (XLA fuses them into the
+        # consumers) instead of dynamic_slice copies of the full band
+        o_s = t.band_o_static
+        band = bandfull[o_s:o_s + nr * ne]
+        pos0 = 2 * ne - o_s
+    else:
+        o = t.band_o[0]
+        z = jnp.zeros((), o.dtype)
+        band = jax.lax.dynamic_slice(bandfull, (o, z, z),
+                                     (nr * ne, 16, B))
+        pos0 = 2 * ne - o
+    b4 = band.reshape(nr, ne, 16, B)
+
+    gpx = jnp.where(t.gpx_mask[..., None], extf[t.gpx_idx].astype(f), 0)
+    gmx = jnp.where(t.gmx_mask[..., None], extf[t.gmx_idx].astype(f), 0)
+
+    P = t.npatch
+    pa = jnp.where(t.pa_mask[..., None], extf[t.pa_idx].astype(f), 0)
+    pb = jnp.where(t.pb_mask[..., None], extf[t.pb_idx].astype(f), 0)
+    ppos = jnp.concatenate([t.pa_pos, t.pb_pos]).astype(jnp.int32) \
+        .reshape(1, 2 * P)
+
+    dvals = jnp.where(t.diag_mask[..., None],
+                      extf[t.diag_idx].astype(f), 0)      # [eloc, 4, B]
+    if t.band_o_static is not None:
+        zpad = jnp.zeros((2 * ne - t.band_o_static, 4, B), f)
+        zpad2 = jnp.zeros((nr * ne - eloc - zpad.shape[0], 4, B), f)
+        dband = jnp.concatenate([zpad, dvals, zpad2], axis=0)
+    else:
+        z = jnp.zeros((), t.band_o.dtype)
+        dband = jnp.zeros((nr * ne, 4, B), f)
+        dband = jax.lax.dynamic_update_slice(
+            dband, dvals, (pos0, z, z))
+    return b4, gpx, gmx, dband.reshape(nr, ne, 4, B), pa, pb, ppos, pos0
+
+
 def dss_band_pallas(x, ext, t, rsp_band=None, dp=None, nq=None,
                     met_band=None, deriv=None, interpret=None):
     """Banded face-shift DSS for one shard, Pallas-fused epilogues.
@@ -185,44 +278,60 @@ def dss_band_pallas(x, ext, t, rsp_band=None, dp=None, nq=None,
     if with_lap and not with_minmax:
         raise ValueError("lap fusion requires dp")
 
-    b4, up, dn, gpx, gmx, dband, pos0 = _band_prep(x, ext, t)
+    b4, gpx, gmx, dband, pa, pb, ppos, pos0 = _band_prep_lite(x, ext, t)
+    P = t.npatch
 
     # lane padding (Mosaic 128 rule); padded lanes carry zeros
     Bp = -(-B // 128) * 128
     if Bp != B:
         padl = lambda a: jnp.pad(
             a, ((0, 0),) * (a.ndim - 1) + ((0, Bp - B),))
-        b4, up, dn, gpx, gmx, dband = map(padl,
-                                          (b4, up, dn, gpx, gmx, dband))
+        b4, gpx, gmx, dband, pa, pb = map(padl,
+                                          (b4, gpx, gmx, dband, pa, pb))
     bc = 128 if Bp % 128 == 0 else Bp
     nb = Bp // bc
+
+    # face-transition masks as per-row columns; the last/first band row
+    # folds in the prep's zero ghost row (concat([bv[1:], zrow]) — the
+    # in-kernel clamped row read needs the mask to zero it)
+    ridx = jnp.arange(nr)
+    ysu1 = (t.ysame_up & (ridx < nr - 1)).astype(f)
+    ysd1 = (t.ysame_dn & (ridx > 0)).astype(f)
 
     nlev = dp.shape[-1] if with_minmax else 1
     if with_minmax:
         # band-aligned dp: ghost rows get 1.0 (their q values are sliced
         # off; 1.0 avoids 0/0 NaNs leaking into min/max lanes)
-        o = t.band_o[0]
-        z = jnp.zeros((), o.dtype)
         ones = jnp.ones((2 * ne, nn, nlev), f)
         dpfull = jnp.concatenate(
             [ones, dp.astype(f), jnp.ones((3 * ne, nn, nlev), f)], axis=0)
-        dpb = jax.lax.dynamic_slice(
-            dpfull, (o, z, z), (nr * ne, nn, nlev)).reshape(nr, ne, nn,
-                                                            nlev)
+        if t.band_o_static is not None:
+            o_s = t.band_o_static
+            dpb = dpfull[o_s:o_s + nr * ne]
+        else:
+            o = t.band_o[0]
+            z = jnp.zeros((), o.dtype)
+            dpb = jax.lax.dynamic_slice(
+                dpfull, (o, z, z), (nr * ne, nn, nlev))
+        dpb = dpb.reshape(nr, ne, nn, nlev)
     else:
         dpb = jnp.ones((nr, ne, 1, 1), f)
 
     # row blocking: by divides nr_pad (pad rows are zeros, sliced off)
-    cap = max(1, 2_000_000 // (ne * 16 * bc * 4))
+    import os as _os
+    cap_b = int(_os.environ.get("TSE_BAND_CAP", "0")) or 2_000_000
+    cap = max(1, cap_b // (ne * 16 * bc * 4))
     by = min(nr, cap)
     nrp = -(-nr // by) * by
     if nrp != nr:
         padr = lambda a: jnp.pad(
             a, ((0, nrp - nr),) + ((0, 0),) * (a.ndim - 1))
-        b4, up, dn, gpx, gmx, dband = map(padr,
-                                          (b4, up, dn, gpx, gmx, dband))
+        b4, gpx, gmx, dband, ysu1, ysd1 = map(
+            padr, (b4, gpx, gmx, dband, ysu1, ysd1))
         dpb = jnp.concatenate(
             [dpb, jnp.ones((nrp - nr,) + dpb.shape[1:], f)], axis=0)
+    ysu_c = jnp.broadcast_to(ysu1[:, None], (nrp, 128))
+    ysd_c = jnp.broadcast_to(ysd1[:, None], (nrp, 128))
 
     if with_scale:
         rspb = rsp_band.astype(f)
@@ -282,29 +391,56 @@ def dss_band_pallas(x, ext, t, rsp_band=None, dp=None, nq=None,
                             memory_space=pltpu.VMEM)
         cx = cy = cxt = cyt = dmat = np.zeros((nn, 4))
 
-    kernel = functools.partial(_band_kernel, by, ne, nlev,
+    brow1 = pl.BlockSpec(
+        (1, ne, nn, bc),
+        lambda r, b: (jnp.minimum(r * by + by, nrp - 1), 0, 0, b),
+        memory_space=pltpu.VMEM)
+    brow1d = pl.BlockSpec(
+        (1, ne, nn, bc),
+        lambda r, b: (jnp.maximum(r * by - 1, 0), 0, 0, b),
+        memory_space=pltpu.VMEM)
+    bys = pl.BlockSpec((by, 128), lambda r, b: (r, 0),
+                       memory_space=pltpu.VMEM)
+    bpatch = pl.BlockSpec((P, ne, 4, bc), lambda r, b: (0, 0, 0, b),
+                          memory_space=pltpu.VMEM)
+    bpos = pl.BlockSpec((1, 2 * P), lambda r, b: (0, 0),
+                        memory_space=pltpu.SMEM)
+
+    kernel = functools.partial(_band_kernel, by, ne, nlev, P,
                                with_scale, with_minmax, with_lap)
     outs = pl.pallas_call(
         kernel,
         grid=(nrp // by, nb),
-        in_specs=[bmain, brow4, brow4, bgx, bgx, brow4, brsp, bdp, bmet,
+        in_specs=[bmain, brow1, brow1d, bgx, bgx, brow4,
+                  bys, bys, bpatch, bpatch, bpos,
+                  brsp, bdp, bmet,
                   bcoef, bcoef, bcoef, bcoef, bcoef, bcoef],
         out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
         out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
+        scratch_shapes=[pltpu.VMEM((by, ne, 4, bc), f),
+                        pltpu.VMEM((by, ne, 4, bc), f)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(b4, up, dn, gpx, gmx, dband, rspb, dpb.astype(f), metb,
+    )(b4, b4, b4, gpx, gmx, dband, ysu_c, ysd_c, pa, pb, ppos,
+      rspb, dpb.astype(f), metb,
       jnp.asarray(cx, f), jnp.asarray(cy, f),
       jnp.asarray(cxt, f), jnp.asarray(cyt, f),
       jnp.asarray(_ddy_mask_mat(), f), jnp.asarray(dmat, f))
 
-    z = jnp.zeros((), jnp.int32)
-    p0 = jnp.asarray(pos0, jnp.int32)
-    loc = lambda a: jax.lax.dynamic_slice(
-        a.reshape(nrp * ne, nn, Bp), (p0, z, z), (eloc, nn, Bp))[..., :B]
-    locmm = lambda a: jax.lax.dynamic_slice(
-        a.reshape(nrp * ne, Bp), (p0, z), (eloc, Bp))[..., :B]
+    if t.band_o_static is not None:
+        p0s = 2 * ne - t.band_o_static
+        loc = lambda a: a.reshape(nrp * ne, nn, Bp)[
+            p0s:p0s + eloc, :, :B]
+        locmm = lambda a: a.reshape(nrp * ne, Bp)[p0s:p0s + eloc, :B]
+    else:
+        z = jnp.zeros((), jnp.int32)
+        p0 = jnp.asarray(pos0, jnp.int32)
+        loc = lambda a: jax.lax.dynamic_slice(
+            a.reshape(nrp * ne, nn, Bp), (p0, z, z),
+            (eloc, nn, Bp))[..., :B]
+        locmm = lambda a: jax.lax.dynamic_slice(
+            a.reshape(nrp * ne, Bp), (p0, z), (eloc, Bp))[..., :B]
     if with_minmax:
         ret = [loc(outs[0]), locmm(outs[1]), locmm(outs[2])]
         if with_lap:

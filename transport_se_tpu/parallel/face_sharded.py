@@ -77,6 +77,10 @@ class ShardedFaceTables:
     # zeros on rows outside the sphere — their outputs are sliced off)
     band_rsp: jnp.ndarray = None   # [nr, ne, 16] rspheremp
     band_met: jnp.ndarray = None   # [nr, ne, 5, 16] Dinv00/01/10/11+spheremp
+    # static (python-int) band offset when identical on every shard
+    # (row-aligned eloc) — enables static band/output slicing; None
+    # when shards cut mid-row (offsets then differ per shard)
+    band_o_static: int | None = None
 
 
 def build_sharded_face_tables(grid, plan, ft) -> dict:
@@ -231,7 +235,14 @@ def build_sharded_face_tables(grid, plan, ft) -> dict:
         out["f_" + name + "_pos"] = pos
         out["f_" + name + "_idx"] = idx
         out["f_" + name + "_mask"] = msk
-    out["_dims"] = dict(ne=ne, eloc=eloc, nr=nr, npatch=P)
+    # uniform row-alignment offset (eloc % ne == 0, e.g. S=1 or the
+    # NE120/S=8 production split): every shard's band offset is the same
+    # static value, so the band/output slicing can be static python
+    # slices instead of dynamic_slice copies (ops/pallas_band.py)
+    o_all = {int(d["band_o"][0]) for d in per_shard}
+    out["_dims"] = dict(ne=ne, eloc=eloc, nr=nr, npatch=P,
+                        band_o_static=(o_all.pop() if len(o_all) == 1
+                                       else None))
     return out
 
 
@@ -251,7 +262,8 @@ def tables_from_stack(stack_slices: dict, dims: dict) -> ShardedFaceTables:
         pa_mask=g("pa_mask"), pb_pos=g("pb_pos"), pb_idx=g("pb_idx"),
         pb_mask=g("pb_mask"), diag_idx=g("diag_idx"),
         diag_mask=g("diag_mask"), band_rsp=g("band_rsp"),
-        band_met=g("band_met"))
+        band_met=g("band_met"),
+        band_o_static=dims.get("band_o_static"))
 
 
 def dss_sum_t_face_band(x, ext, t: ShardedFaceTables):
