@@ -25,8 +25,10 @@ from transport_se_tpu.model.core import (build_model, initial_qdp,
 from transport_se_tpu.norms import dcmip_error_norms, grade_tracer, unique_columns
 from transport_se_tpu.constants import SCALE_HEIGHT
 
-cfg = Config(ne=120, nlev=64, qsize=2, tstep=75.0, ndays=1, nu_q=1e13,
-             test_case="dcmip1-2", dtype="f32", use_pallas=True, vcoord="dcmip64",
+TEST = os.environ.get("NE120_TEST", "dcmip1-2")
+NDAYS = int(os.environ.get("NE120_DAYS", "1"))  # 1-1's period is 12
+cfg = Config(ne=120, nlev=64, qsize=2, tstep=75.0, ndays=NDAYS, nu_q=1e13,
+             test_case=TEST, dtype="f32", use_pallas=True, vcoord="dcmip64",
              dss_mode="face", elem_order="raster", disable_diagnostics=True)
 m = build_model(cfg)
 E = m.grid.nelem; qk = cfg.qsize * cfg.nlev
