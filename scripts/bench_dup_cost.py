@@ -50,6 +50,18 @@ for _i in range(9):
     _r.append(time.perf_counter() - t0)
 RTT = sorted(_r)[4]
 
+# chain-wrap overhead (the Q + 0.0*s fence pattern costs one
+# elementwise pass of Q) — subtract it from every row
+fid = jax.jit(lambda Q: Q + 0.0 * Q.ravel()[0])
+o = fid(Qt)
+_ = np.asarray(o.ravel()[0])
+t0 = time.perf_counter()
+for _i in range(10):
+    o = fid(o)
+_ = np.asarray(o.ravel()[0])
+WRAP = (time.perf_counter() - t0 - RTT) / 10 * 1e3
+print(f"chain wrap {WRAP:.2f} ms (subtracted)", flush=True)
+
 rows = []
 for frac in (0.06, 0.12, 0.23, 0.37, 0.50, 1.00):
     Es = max(8, int(E * frac) // 8 * 8)
@@ -72,7 +84,7 @@ for frac in (0.06, 0.12, 0.23, 0.37, 0.50, 1.00):
     for _i in range(10):
         o = f(o)
     _ = np.asarray(o.ravel()[0])
-    dt = (time.perf_counter() - t0 - RTT) / 10 * 1e3
+    dt = (time.perf_counter() - t0 - RTT) / 10 * 1e3 - WRAP
     rows.append((frac, Es, dt))
     print(f"subset {frac*100:5.1f}%  E={Es:5d}  fused kernel "
           f"{dt:6.2f} ms", flush=True)

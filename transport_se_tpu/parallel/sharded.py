@@ -105,15 +105,17 @@ def make_sharded_subcycle(m: Model, mesh: Mesh,
                          and not diagnostics) else "std")
     plan = build_shard_plan(m.grid, S, overlap=overlap and not use_face)
     if overlap_face and overlap_auto:
-        # the duplicate boundary-group producer costs bgrp/eloc extra
-        # kernel work to let the halo permutes overlap the full-field
-        # kernel; when the group is most of the shard (tiny toy shards -
-        # NE8/S=8 is 75%) that's a pure loss (measured
-        # artifacts/SCALING_r04.md), while production shards sit at
-        # 6-37% (NE120/S=8: 6%).  Auto mode enables it only below 50%;
-        # overlap=True forces it regardless.
+        # the duplicate boundary-group producer costs extra kernel work
+        # to let the halo permutes overlap the full-field kernel.
+        # Measured on the real chip (artifacts/dup_cost_r05.txt, NE30
+        # perf kernel): the duplicate costs +9% of the full kernel at a
+        # 6% group (the NE120/S=8 production fraction), +29% at 23%,
+        # +67% at 50% — the r4 threshold of 0.5 allowed duplicates that
+        # no single halo round-trip could pay for.  Auto mode enables
+        # the composition below 25% (duplicate <= ~3 ms vs a ~2-6 ms
+        # hidden halo round); overlap=True forces it regardless.
         frac = plan.bmask.sum(axis=1).max() / plan.eloc
-        overlap_face = bool(frac <= 0.5)
+        overlap_face = bool(frac <= 0.25)
     perm = plan.perm
     inv_perm = np.empty_like(perm)
     inv_perm[perm] = np.arange(perm.size)
