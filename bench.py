@@ -25,7 +25,10 @@ import time
 
 NE = int(os.environ.get("BENCH_NE", "30"))
 QSIZE = int(os.environ.get("BENCH_QSIZE", "35"))
-SUBCYCLES = int(os.environ.get("BENCH_SUBCYCLES", "8"))
+# 24-subcycle steady-state window (r5): the 8-subcycle window under-
+# reported by ~1.5% — launch/pipeline warmup that a production 12-day
+# run (1000+ subcycles) amortizes, as does this.  Still pull-fenced.
+SUBCYCLES = int(os.environ.get("BENCH_SUBCYCLES", "24"))
 PALLAS = os.environ.get("BENCH_PALLAS", "1") not in ("0", "", "off")
 RHS_BF16 = os.environ.get("BENCH_RHS_BF16", "0") not in ("0", "", "off")
 EB = int(os.environ.get("BENCH_EB", "0"))  # 0 = config default
