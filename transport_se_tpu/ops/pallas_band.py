@@ -11,7 +11,7 @@ sharded pipeline runs the SAME fused program as the single chip, the
 reference's one-assembly-at-any-rank-count discipline
 (edge_mod.F90:366/648, cuda_mod.F90:932-1009).
 
-XLA keeps only the O(boundary) work: head/tail/ghost/diag gathers, the
+XLA keeps only the O(boundary) work: head/tail/ghost/patch gathers, the
 band row alignment (dynamic_slice), and the seam patches — exactly the
 pieces the ppermute halo machinery feeds.
 
@@ -36,7 +36,8 @@ __all__ = ["dss_band_pallas"]
 
 
 def _band_kernel(by, ne, nlev, P, with_scale, with_minmax, with_lap,
-                 x_ref, xu_ref, xd_ref, gpx_ref, gmx_ref, dv_ref,
+                 x_ref, xu_ref, xd_ref, gpx_ref, gmx_ref,
+                 gpxu_ref, gmxu_ref, gpxd_ref, gmxd_ref,
                  ysu_ref, ysd_ref, pa_ref, pb_ref, ppos_ref,
                  rsp_ref, dp_ref, met_ref, cx_ref, cy_ref, cxt_ref,
                  cyt_ref, mask_ref, dm_ref, *outs):
@@ -52,8 +53,21 @@ def _band_kernel(by, ne, nlev, P, with_scale, with_minmax, with_lap,
     [nrp, 128]; the y-seam patch strips (O(P*ne) boundary rows) are
     added through VMEM scratch under pl.when, so only the rare blocks
     containing a patch row pay for it.  gpx/gmx [by, 4, bc] are the +-x
-    seam columns; dv [by, ne, 4, bc] the corner diagonal values in
-    (mm, mp, pm, pp) order.  The per-slot sum order reproduces
+    seam columns (gpxu/gmxu/gpxd/gmxd their +-1-row-shifted copies).
+
+    The corner diagonals are ALSO derived in kernel (r5; previously a
+    dense [eloc, 4, B] XLA gather + band embed, 2 x 226 MB per DSS at
+    NE30/35tr): the (.,+y) diagonals are ex-shifts of the up rows with
+    open corners from the row-above +-x strips, and symmetrically for
+    (.,-y) — exactly the single-chip face kernel's construction.  At
+    face-transition rows the up/dn rows already hold the orientation-
+    mapped y-seam ghosts (the patches), so their ex-shifts are the
+    correct cross-seam diagonals, and the open corner there is always a
+    cube vertex (transitions happen only at face edges) — zeroed by the
+    same ysame masks.  Values are gathered, never computed, so this is
+    bitwise-identical to the table-gather form.
+
+    The per-slot sum order reproduces
     parallel/face_sharded.py dss_sum_t_face_band BITWISE:
     ((((x + t_px) + t_mx) + t_py) + t_my) + cor with the zero-placed adds
     dropped (x + 0.0 only flips the sign of a -0.0, and array-equality
@@ -67,7 +81,6 @@ def _band_kernel(by, ne, nlev, P, with_scale, with_minmax, with_lap,
     f = x_ref.dtype
     x = x_ref[...]                       # [by, ne, 16, bc]
     bc = x.shape[-1]
-    dv = dv_ref[...]
     r = pl.program_id(0)
     row0 = r * by
 
@@ -104,15 +117,29 @@ def _band_kernel(by, ne, nlev, P, with_scale, with_minmax, with_lap,
     S_mx = jnp.concatenate([gmx_ref[...][:, None], x[:, :-1, 12:16, :]],
                            axis=1)
 
+    # ---- corner diagonals from the up/dn rows (see docstring) ----
+    # (+x,+y) pp: slot (0,0) of (r+1, ex+1) = up[:, ex+1, 0]; open
+    # corner = +x strip at row r+1, slot j=0 (vertex-zero at transitions)
+    cu = jnp.where(ysu > 0.5, 1.0, 0.0)            # [by, 1, 1, 1]
+    cd = jnp.where(ysd > 0.5, 1.0, 0.0)
+    c_pp = (cu[:, :, 0] * gpxu_ref[...][:, 0:1, :])      # [by, 1, bc]
+    c_mp = (cu[:, :, 0] * gmxu_ref[...][:, 0:1, :])
+    c_pm = (cd[:, :, 0] * gpxd_ref[...][:, 3:4, :])
+    c_mm = (cd[:, :, 0] * gmxd_ref[...][:, 3:4, :])
+    d_pp = jnp.concatenate([up[:, 1:, 0, :], c_pp], axis=1)
+    d_mp = jnp.concatenate([c_mp, up[:, :-1, 3, :]], axis=1)
+    d_pm = jnp.concatenate([dn[:, 1:, 0, :], c_pm], axis=1)
+    d_mm = jnp.concatenate([c_mm, dn[:, :-1, 3, :]], axis=1)
+
     z2 = jnp.zeros((by, ne, 2, bc), f)
     dcj = lambda a, b: jnp.concatenate(
         [a[:, :, None], z2, b[:, :, None]], axis=2)       # j: a, 0, 0, b
     i0 = (x[:, :, 0:4, :] + S_mx) + dcj(dn[:, :, 0], up[:, :, 0])
-    i0 = i0 + dcj(dv[:, :, 0], dv[:, :, 1])               # (mm, mp)
+    i0 = i0 + dcj(d_mm, d_mp)
     i1 = x[:, :, 4:8, :] + dcj(dn[:, :, 1], up[:, :, 1])
     i2 = x[:, :, 8:12, :] + dcj(dn[:, :, 2], up[:, :, 2])
     i3 = (x[:, :, 12:16, :] + S_px) + dcj(dn[:, :, 3], up[:, :, 3])
-    i3 = i3 + dcj(dv[:, :, 2], dv[:, :, 3])               # (pm, pp)
+    i3 = i3 + dcj(d_pm, d_pp)
     res = jnp.concatenate([i0, i1, i2, i3], axis=2)
 
     if with_scale:
@@ -235,18 +262,7 @@ def _band_prep_lite(x, ext, t):
     ppos = jnp.concatenate([t.pa_pos, t.pb_pos]).astype(jnp.int32) \
         .reshape(1, 2 * P)
 
-    dvals = jnp.where(t.diag_mask[..., None],
-                      extf[t.diag_idx].astype(f), 0)      # [eloc, 4, B]
-    if t.band_o_static is not None:
-        zpad = jnp.zeros((2 * ne - t.band_o_static, 4, B), f)
-        zpad2 = jnp.zeros((nr * ne - eloc - zpad.shape[0], 4, B), f)
-        dband = jnp.concatenate([zpad, dvals, zpad2], axis=0)
-    else:
-        z = jnp.zeros((), t.band_o.dtype)
-        dband = jnp.zeros((nr * ne, 4, B), f)
-        dband = jax.lax.dynamic_update_slice(
-            dband, dvals, (pos0, z, z))
-    return b4, gpx, gmx, dband.reshape(nr, ne, 4, B), pa, pb, ppos, pos0
+    return b4, gpx, gmx, pa, pb, ppos, pos0
 
 
 def dss_band_pallas(x, ext, t, rsp_band=None, dp=None, nq=None,
@@ -278,7 +294,7 @@ def dss_band_pallas(x, ext, t, rsp_band=None, dp=None, nq=None,
     if with_lap and not with_minmax:
         raise ValueError("lap fusion requires dp")
 
-    b4, gpx, gmx, dband, pa, pb, ppos, pos0 = _band_prep_lite(x, ext, t)
+    b4, gpx, gmx, pa, pb, ppos, pos0 = _band_prep_lite(x, ext, t)
     P = t.npatch
 
     # lane padding (Mosaic 128 rule); padded lanes carry zeros
@@ -286,8 +302,7 @@ def dss_band_pallas(x, ext, t, rsp_band=None, dp=None, nq=None,
     if Bp != B:
         padl = lambda a: jnp.pad(
             a, ((0, 0),) * (a.ndim - 1) + ((0, Bp - B),))
-        b4, gpx, gmx, dband, pa, pb = map(padl,
-                                          (b4, gpx, gmx, dband, pa, pb))
+        b4, gpx, gmx, pa, pb = map(padl, (b4, gpx, gmx, pa, pb))
     bc = 128 if Bp % 128 == 0 else Bp
     nb = Bp // bc
 
@@ -326,12 +341,18 @@ def dss_band_pallas(x, ext, t, rsp_band=None, dp=None, nq=None,
     if nrp != nr:
         padr = lambda a: jnp.pad(
             a, ((0, nrp - nr),) + ((0, 0),) * (a.ndim - 1))
-        b4, gpx, gmx, dband, ysu1, ysd1 = map(
-            padr, (b4, gpx, gmx, dband, ysu1, ysd1))
+        b4, gpx, gmx, ysu1, ysd1 = map(
+            padr, (b4, gpx, gmx, ysu1, ysd1))
         dpb = jnp.concatenate(
             [dpb, jnp.ones((nrp - nr,) + dpb.shape[1:], f)], axis=0)
     ysu_c = jnp.broadcast_to(ysu1[:, None], (nrp, 128))
     ysd_c = jnp.broadcast_to(ysd1[:, None], (nrp, 128))
+    # +-1-row-shifted strip copies for the in-kernel corner diagonals
+    z1 = jnp.zeros((1,) + gpx.shape[1:], f)
+    gpxu = jnp.concatenate([gpx[1:], z1], axis=0)
+    gmxu = jnp.concatenate([gmx[1:], z1], axis=0)
+    gpxd = jnp.concatenate([z1, gpx[:-1]], axis=0)
+    gmxd = jnp.concatenate([z1, gmx[:-1]], axis=0)
 
     if with_scale:
         rspb = rsp_band.astype(f)
@@ -345,8 +366,6 @@ def dss_band_pallas(x, ext, t, rsp_band=None, dp=None, nq=None,
                             memory_space=pltpu.VMEM)
 
     bmain = pl.BlockSpec((by, ne, nn, bc), lambda r, b: (r, 0, 0, b),
-                         memory_space=pltpu.VMEM)
-    brow4 = pl.BlockSpec((by, ne, 4, bc), lambda r, b: (r, 0, 0, b),
                          memory_space=pltpu.VMEM)
     bgx = pl.BlockSpec((by, 4, bc), lambda r, b: (r, 0, b),
                        memory_space=pltpu.VMEM)
@@ -411,7 +430,7 @@ def dss_band_pallas(x, ext, t, rsp_band=None, dp=None, nq=None,
     outs = pl.pallas_call(
         kernel,
         grid=(nrp // by, nb),
-        in_specs=[bmain, brow1, brow1d, bgx, bgx, brow4,
+        in_specs=[bmain, brow1, brow1d, bgx, bgx, bgx, bgx, bgx, bgx,
                   bys, bys, bpatch, bpatch, bpos,
                   brsp, bdp, bmet,
                   bcoef, bcoef, bcoef, bcoef, bcoef, bcoef],
@@ -422,8 +441,8 @@ def dss_band_pallas(x, ext, t, rsp_band=None, dp=None, nq=None,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(b4, b4, b4, gpx, gmx, dband, ysu_c, ysd_c, pa, pb, ppos,
-      rspb, dpb.astype(f), metb,
+    )(b4, b4, b4, gpx, gmx, gpxu, gmxu, gpxd, gmxd, ysu_c, ysd_c,
+      pa, pb, ppos, rspb, dpb.astype(f), metb,
       jnp.asarray(cx, f), jnp.asarray(cy, f),
       jnp.asarray(cxt, f), jnp.asarray(cyt, f),
       jnp.asarray(_ddy_mask_mat(), f), jnp.asarray(dmat, f))
